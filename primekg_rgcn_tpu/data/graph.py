@@ -1,0 +1,188 @@
+"""Static-shape relation-bucketed graph format.
+
+The reference feeds PyG a ragged ``edge_index [2, E]`` + ``edge_type [E]`` pair
+(reference: src/preprocess.py:256-261) and lets RGCNConv mask per relation at
+runtime (reference: src/models/rgcn.py:123-128). That is hostile to XLA: every
+graph would retrace, and per-relation masking wastes work.
+
+Here edges are bucketed by relation and sorted by destination node **on the
+host, once**; each bucket is padded to a static capacity with sentinel edges
+that point at a dummy node row (index ``num_nodes``) whose features are zero
+and whose aggregation output is dropped. Every jitted computation therefore
+sees fixed shapes, padding contributes exactly zero to both the aggregation
+numerator and the degree normalization, and per-relation segment-sums run on
+contiguous, pre-sorted index ranges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class RelGraph:
+    """Relation-bucketed, destination-sorted, statically padded graph.
+
+    Attributes:
+        src: int32[E_pad] source node ids; padding slots hold ``num_nodes``.
+        dst: int32[E_pad] destination node ids, non-decreasing within each
+            relation bucket; padding slots hold ``num_nodes``.
+        inv_in_deg: float32[R, num_nodes + 1] reciprocal per-relation in-degree
+            used for PyG-style mean aggregation (reference semantics described
+            in the model docs, see ops/rgcn_segment.py). Zero where the degree
+            is zero and on the dummy row.
+        rel_offsets: static (R+1,) tuple of bucket start offsets into src/dst.
+        num_nodes / num_relations / num_edges: static graph sizes
+            (``num_edges`` counts real, unpadded edges).
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    inv_in_deg: jnp.ndarray
+    rel_offsets: Tuple[int, ...]
+    num_nodes: int
+    num_relations: int
+    num_edges: int
+
+    # -- pytree protocol (arrays are leaves; sizes are static aux data) ------
+    def tree_flatten(self):
+        leaves = (self.src, self.dst, self.inv_in_deg)
+        aux = (self.rel_offsets, self.num_nodes, self.num_relations, self.num_edges)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        src, dst, inv_in_deg = leaves
+        rel_offsets, num_nodes, num_relations, num_edges = aux
+        return cls(src, dst, inv_in_deg, rel_offsets, num_nodes, num_relations, num_edges)
+
+    # -- convenience ---------------------------------------------------------
+    @property
+    def padded_num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    def bucket_slice(self, r: int) -> Tuple[int, int]:
+        return self.rel_offsets[r], self.rel_offsets[r + 1]
+
+    def bucket_sizes(self) -> Tuple[int, ...]:
+        return tuple(
+            self.rel_offsets[r + 1] - self.rel_offsets[r] for r in range(self.num_relations)
+        )
+
+
+def build_rel_graph(
+    src: np.ndarray,
+    dst: np.ndarray,
+    rel: np.ndarray,
+    num_nodes: int,
+    num_relations: int,
+    *,
+    bucket_pad_multiple: int = 512,
+    bucket_capacities: Optional[Tuple[int, ...]] = None,
+) -> RelGraph:
+    """Build a RelGraph from raw COO edge arrays (host-side, runs once).
+
+    Invalid edges (node id out of range) are dropped, matching the defensive
+    filtering the reference applies at every load site (reference:
+    src/train.py:571-591, src/evaluate.py:752-769).
+
+    Args:
+        bucket_pad_multiple: each relation bucket is padded up to a multiple of
+            this, so minor edge-count changes don't force recompilation.
+        bucket_capacities: optional explicit per-relation capacities (must be
+            >= actual bucket sizes); use to share one compiled program across
+            graphs of slightly different sizes.
+    """
+    src = np.asarray(src, dtype=np.int64).ravel()
+    dst = np.asarray(dst, dtype=np.int64).ravel()
+    rel = np.asarray(rel, dtype=np.int64).ravel()
+    if not (src.shape == dst.shape == rel.shape):
+        raise ValueError(f"edge array shapes differ: {src.shape}, {dst.shape}, {rel.shape}")
+
+    valid = (src >= 0) & (src < num_nodes) & (dst >= 0) & (dst < num_nodes)
+    valid &= (rel >= 0) & (rel < num_relations)
+    src, dst, rel = src[valid], dst[valid], rel[valid]
+    num_edges = int(src.shape[0])
+
+    # Sort by (relation, dst) so each bucket is contiguous and dst-sorted.
+    order = np.lexsort((dst, rel))
+    src, dst, rel = src[order], dst[order], rel[order]
+
+    counts = np.bincount(rel, minlength=num_relations)
+    if bucket_capacities is None:
+        caps = [
+            max(_round_up(int(c), bucket_pad_multiple), bucket_pad_multiple) for c in counts
+        ]
+    else:
+        caps = list(bucket_capacities)
+        if len(caps) != num_relations:
+            raise ValueError("bucket_capacities length must equal num_relations")
+        for r, (cap, c) in enumerate(zip(caps, counts)):
+            if cap < c:
+                raise ValueError(f"bucket_capacities[{r}]={cap} < actual bucket size {c}")
+
+    sentinel = num_nodes
+    total = int(sum(caps))
+    src_pad = np.full(total, sentinel, dtype=np.int32)
+    dst_pad = np.full(total, sentinel, dtype=np.int32)
+    offsets = [0]
+    start = 0
+    in_start = 0
+    for r in range(num_relations):
+        c = int(counts[r])
+        src_pad[start : start + c] = src[in_start : in_start + c]
+        dst_pad[start : start + c] = dst[in_start : in_start + c]
+        in_start += c
+        start += caps[r]
+        offsets.append(start)
+
+    # Per-relation in-degree of each destination node (real edges only).
+    inv_deg = np.zeros((num_relations, num_nodes + 1), dtype=np.float32)
+    in_start = 0
+    for r in range(num_relations):
+        c = int(counts[r])
+        deg = np.bincount(dst[in_start : in_start + c], minlength=num_nodes + 1)
+        in_start += c
+        nz = deg > 0
+        inv_deg[r, nz] = 1.0 / deg[nz]
+    inv_deg[:, sentinel] = 0.0
+
+    return RelGraph(
+        src=jnp.asarray(src_pad),
+        dst=jnp.asarray(dst_pad),
+        inv_in_deg=jnp.asarray(inv_deg),
+        rel_offsets=tuple(offsets),
+        num_nodes=int(num_nodes),
+        num_relations=int(num_relations),
+        num_edges=num_edges,
+    )
+
+
+def edge_arrays_from_graph(graph: RelGraph) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Recover real (src, dst, rel) COO arrays from a RelGraph (host-side)."""
+    src = np.asarray(graph.src)
+    dst = np.asarray(graph.dst)
+    outs, outd, outr = [], [], []
+    for r in range(graph.num_relations):
+        s, e = graph.bucket_slice(r)
+        bucket_src = src[s:e]
+        bucket_dst = dst[s:e]
+        real = bucket_src < graph.num_nodes
+        outs.append(bucket_src[real])
+        outd.append(bucket_dst[real])
+        outr.append(np.full(int(real.sum()), r, dtype=np.int64))
+    return (
+        np.concatenate(outs).astype(np.int64),
+        np.concatenate(outd).astype(np.int64),
+        np.concatenate(outr),
+    )

@@ -1,0 +1,168 @@
+"""RGCN encoder + DistMult decoder link-prediction model.
+
+Functional re-design of the reference model family (reference:
+src/models/rgcn.py — DrugDiseaseRGCN at 21-142, LinkPredictor at 145-243,
+DrugDiseaseModel at 246-415) as pure pytrees + apply functions, so the whole
+model jits, shards with pjit/shard_map, and differentiates without framework
+state.
+
+Architecture (identical to the reference):
+    node embedding table [N, d_emb]  (Xavier-uniform init, rgcn.py:93-95)
+    -> RGCN layer (d_emb -> d_h) -> ReLU -> Dropout(p)
+    -> RGCN layer (d_h -> d_h)
+    decoder: relation embedding table [R, d_h] (Xavier-uniform, rgcn.py:185-187)
+             DistMult scoring.
+
+Default config parameter count matches the reference's 2,078,208 exactly
+(reference: results_final/results.json "num_parameters").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from primekg_rgcn_tpu.config import ModelConfig
+from primekg_rgcn_tpu.data.graph import RelGraph
+from primekg_rgcn_tpu.ops.distmult import distmult_score, distmult_score_all_tails
+from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+
+Params = Dict[str, Any]
+
+
+def _xavier_uniform(key: jax.Array, shape, fan_in: int, fan_out: int) -> jnp.ndarray:
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def _init_conv(key: jax.Array, din: int, dout: int, num_relations: int,
+               num_bases: Optional[int]) -> Params:
+    k_rel, k_root, k_coef = jax.random.split(key, 3)
+    conv: Params = {
+        "w_root": _xavier_uniform(k_root, (din, dout), din, dout),
+        "bias": jnp.zeros((dout,), jnp.float32),
+    }
+    if num_bases is None:
+        conv["w_rel"] = _xavier_uniform(k_rel, (num_relations, din, dout), din, dout)
+    else:
+        conv["basis"] = _xavier_uniform(k_rel, (num_bases, din, dout), din, dout)
+        conv["coef"] = _xavier_uniform(k_coef, (num_relations, num_bases),
+                                       num_relations, num_bases)
+    return conv
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    """Initialize the full model parameter pytree."""
+    k_node, k_c1, k_c2, k_rel = jax.random.split(key, 4)
+    return {
+        "encoder": {
+            "node_emb": _xavier_uniform(
+                k_node, (cfg.num_nodes, cfg.embedding_dim),
+                cfg.num_nodes, cfg.embedding_dim,
+            ),
+            "conv1": _init_conv(k_c1, cfg.embedding_dim, cfg.hidden_dim,
+                                cfg.num_relations, cfg.num_bases),
+            "conv2": _init_conv(k_c2, cfg.hidden_dim, cfg.hidden_dim,
+                                cfg.num_relations, cfg.num_bases),
+        },
+        "decoder": {
+            "rel_emb": _xavier_uniform(
+                k_rel, (cfg.num_relations, cfg.hidden_dim),
+                cfg.num_relations, cfg.hidden_dim,
+            ),
+        },
+    }
+
+
+def count_params(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def encoder_apply(
+    params: Params,
+    graph: RelGraph,
+    cfg: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    layer_fn=rgcn_layer_segment,
+) -> jnp.ndarray:
+    """Full-graph encode: returns [N, hidden_dim] node embeddings.
+
+    Mirrors DrugDiseaseRGCN.forward (reference: src/models/rgcn.py:97-130):
+    embed -> conv1 -> relu -> dropout -> conv2.
+    """
+    enc = params["encoder"]
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x = enc["node_emb"]
+    x = layer_fn(enc["conv1"], x, graph, compute_dtype=compute_dtype)
+    x = jax.nn.relu(x)
+    if train and cfg.dropout > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when train=True and dropout > 0")
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(dropout_rng, keep, x.shape)
+        x = jnp.where(mask, x / keep, 0.0)
+    x = layer_fn(enc["conv2"], x, graph, compute_dtype=compute_dtype)
+    return x
+
+
+def model_apply(
+    params: Params,
+    graph: RelGraph,
+    heads: jnp.ndarray,
+    tails: jnp.ndarray,
+    rels: jnp.ndarray,
+    cfg: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    layer_fn=rgcn_layer_segment,
+) -> jnp.ndarray:
+    """Training forward: encode the whole graph, score a triple batch.
+
+    Mirrors DrugDiseaseModel.forward (reference: src/models/rgcn.py:300-331):
+    the encoder runs over the **entire** message-passing graph for every batch
+    and gradients flow through it.
+    """
+    enc_rng = dec_rng = None
+    if train and dropout_rng is not None:
+        enc_rng, dec_rng = jax.random.split(dropout_rng)
+    node_emb = encoder_apply(
+        params, graph, cfg, train=train, dropout_rng=enc_rng, layer_fn=layer_fn
+    )
+    head_emb = jnp.take(node_emb, heads, axis=0)
+    tail_emb = jnp.take(node_emb, tails, axis=0)
+    rel_emb = jnp.take(params["decoder"]["rel_emb"], rels, axis=0)
+    if train and cfg.decoder_dropout > 0.0:
+        if dec_rng is None:
+            raise ValueError("dropout_rng required when train=True and decoder_dropout > 0")
+        keep = 1.0 - cfg.decoder_dropout
+        mask = jax.random.bernoulli(dec_rng, keep, rel_emb.shape)
+        rel_emb = jnp.where(mask, rel_emb / keep, 0.0)
+    return distmult_score(head_emb, tail_emb, rel_emb)
+
+
+def predict(params: Params, graph: RelGraph, heads, tails, rels, cfg: ModelConfig,
+            *, layer_fn=rgcn_layer_segment) -> jnp.ndarray:
+    """Inference triple scoring (no dropout), reference rgcn.py:333-360."""
+    return model_apply(params, graph, heads, tails, rels, cfg,
+                       train=False, layer_fn=layer_fn)
+
+
+def predict_all_tails(params: Params, graph: RelGraph, heads, rels, cfg: ModelConfig,
+                      *, layer_fn=rgcn_layer_segment) -> jnp.ndarray:
+    """[B, N] scores of every entity as tail, reference rgcn.py:362-395."""
+    node_emb = encoder_apply(params, graph, cfg, train=False, layer_fn=layer_fn)
+    head_emb = jnp.take(node_emb, heads, axis=0)
+    rel_emb = jnp.take(params["decoder"]["rel_emb"], rels, axis=0)
+    return distmult_score_all_tails(head_emb, rel_emb, node_emb)
+
+
+def get_embeddings(params: Params, graph: RelGraph, cfg: ModelConfig,
+                   *, layer_fn=rgcn_layer_segment) -> jnp.ndarray:
+    """Encoder output without dropout, reference rgcn.py:397-415."""
+    return encoder_apply(params, graph, cfg, train=False, layer_fn=layer_fn)

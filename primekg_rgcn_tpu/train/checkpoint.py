@@ -1,0 +1,78 @@
+"""Self-describing checkpoints.
+
+The reference persists a torch pickle holding model+optimizer state, metric
+histories and the full argparse namespace, and loaders rebuild the model
+architecture from it (reference: src/train.py:418-462, src/evaluate.py:655-730).
+Same contract here, framework-native: the parameter/optimizer pytree is
+serialized with flax msgpack next to a JSON sidecar carrying the configs and
+scalar metadata, so a checkpoint is loadable without knowing the architecture
+in advance and stays debuggable with a text editor.
+
+Layout for ``save(path)``:
+    path.msgpack  — pytree state (params, opt_state, step)
+    path.json     — {"epoch", "best_val_loss", "best_val_acc", "history",
+                     "model_config", "train_config"}
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+
+def save(path, payload: Dict[str, Any]) -> None:
+    """Write a checkpoint. ``payload`` must contain "state" plus JSON-safe
+    metadata fields."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    state = payload["state"]
+    state = jax.device_get(state)
+    with open(path.with_suffix(".msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(state))
+    meta = {k: v for k, v in payload.items() if k != "state"}
+    with open(path.with_suffix(".json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
+    """Read a checkpoint saved by :func:`save`.
+
+    If ``example_state`` (a pytree of the right structure) is given, the
+    restored arrays adopt its exact structure/dtypes; otherwise the model is
+    rebuilt from the stored model_config, mirroring the reference's
+    shape-driven reconstruction (reference: src/evaluate.py:672-708).
+    """
+    path = Path(path)
+    if path.suffix in (".msgpack", ".json"):
+        path = path.with_suffix("")
+    with open(path.with_suffix(".json")) as f:
+        meta = json.load(f)
+
+    if example_state is None:
+        from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+        from primekg_rgcn_tpu.models.rgcn import init_params
+        from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+
+        model_cfg = ModelConfig.from_dict(meta["model_config"])
+        train_cfg = TrainConfig.from_dict(meta.get("train_config", {}))
+        params = init_params(jax.random.PRNGKey(0), model_cfg)
+        opt_state = make_optimizer(train_cfg).init(params)
+        example_state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    with open(path.with_suffix(".msgpack"), "rb") as f:
+        state = serialization.from_bytes(example_state, f.read())
+    meta["state"] = state
+    return meta
+
+
+def load_params_and_config(path):
+    """Convenience: (params, ModelConfig) from a checkpoint path."""
+    from primekg_rgcn_tpu.config import ModelConfig
+
+    payload = load(path)
+    return payload["state"].params, ModelConfig.from_dict(payload["model_config"])
