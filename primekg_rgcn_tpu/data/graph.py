@@ -37,6 +37,12 @@ class RelGraph:
         src: int32[E_pad] source node ids; padding slots hold ``num_nodes``.
         dst: int32[E_pad] destination node ids, non-decreasing within each
             relation bucket; padding slots hold ``num_nodes``.
+        t_src: int32[E_pad] the same edges re-sorted by *source* within each
+            bucket (the transpose graph). The VJP of gather+segment-sum over
+            (src, dst) is exactly gather+segment-sum over (t_dst, t_src), so
+            precomputing the transpose turns the backward pass's slow unsorted
+            scatter-add into another fast sorted segment-sum.
+        t_dst: int32[E_pad] destinations in t_src order.
         inv_in_deg: float32[R, num_nodes + 1] reciprocal per-relation in-degree
             used for PyG-style mean aggregation (reference semantics described
             in the model docs, see ops/rgcn_segment.py). Zero where the degree
@@ -48,6 +54,8 @@ class RelGraph:
 
     src: jnp.ndarray
     dst: jnp.ndarray
+    t_src: jnp.ndarray
+    t_dst: jnp.ndarray
     inv_in_deg: jnp.ndarray
     rel_offsets: Tuple[int, ...]
     num_nodes: int
@@ -56,15 +64,16 @@ class RelGraph:
 
     # -- pytree protocol (arrays are leaves; sizes are static aux data) ------
     def tree_flatten(self):
-        leaves = (self.src, self.dst, self.inv_in_deg)
+        leaves = (self.src, self.dst, self.t_src, self.t_dst, self.inv_in_deg)
         aux = (self.rel_offsets, self.num_nodes, self.num_relations, self.num_edges)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        src, dst, inv_in_deg = leaves
+        src, dst, t_src, t_dst, inv_in_deg = leaves
         rel_offsets, num_nodes, num_relations, num_edges = aux
-        return cls(src, dst, inv_in_deg, rel_offsets, num_nodes, num_relations, num_edges)
+        return cls(src, dst, t_src, t_dst, inv_in_deg, rel_offsets, num_nodes,
+                   num_relations, num_edges)
 
     # -- convenience ---------------------------------------------------------
     @property
@@ -135,13 +144,21 @@ def build_rel_graph(
     total = int(sum(caps))
     src_pad = np.full(total, sentinel, dtype=np.int32)
     dst_pad = np.full(total, sentinel, dtype=np.int32)
+    t_src_pad = np.full(total, sentinel, dtype=np.int32)
+    t_dst_pad = np.full(total, sentinel, dtype=np.int32)
     offsets = [0]
     start = 0
     in_start = 0
     for r in range(num_relations):
         c = int(counts[r])
-        src_pad[start : start + c] = src[in_start : in_start + c]
-        dst_pad[start : start + c] = dst[in_start : in_start + c]
+        bsrc = src[in_start : in_start + c]
+        bdst = dst[in_start : in_start + c]
+        src_pad[start : start + c] = bsrc
+        dst_pad[start : start + c] = bdst
+        # Transpose bucket: same edges sorted by source node.
+        t_order = np.argsort(bsrc, kind="stable")
+        t_src_pad[start : start + c] = bsrc[t_order]
+        t_dst_pad[start : start + c] = bdst[t_order]
         in_start += c
         start += caps[r]
         offsets.append(start)
@@ -160,6 +177,8 @@ def build_rel_graph(
     return RelGraph(
         src=jnp.asarray(src_pad),
         dst=jnp.asarray(dst_pad),
+        t_src=jnp.asarray(t_src_pad),
+        t_dst=jnp.asarray(t_dst_pad),
         inv_in_deg=jnp.asarray(inv_deg),
         rel_offsets=tuple(offsets),
         num_nodes=int(num_nodes),

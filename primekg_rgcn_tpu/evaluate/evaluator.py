@@ -1,0 +1,174 @@
+"""End-to-end model evaluation producing the reference's results contract.
+
+Mirrors ModelEvaluator (reference: src/evaluate.py:75-385) with two TPU-native
+fixes to the compute plan, neither of which changes results:
+
+- The reference re-encodes the full graph for every evaluation batch
+  (src/evaluate.py:189-195, 250-254) even though eval-mode encoding is
+  deterministic. Here the graph is encoded **once** and embeddings are reused
+  for all classification and ranking batches.
+- Ranking is a single [B, D] x [D, N] matmul per batch followed by a
+  vectorized rank reduction on device — no per-example argsort loop.
+
+Output contract matches results.json / metrics_summary.txt exactly
+(reference: src/evaluate.py:595-652, results/results.json).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from primekg_rgcn_tpu.config import EvalConfig, ModelConfig
+from primekg_rgcn_tpu.data.graph import RelGraph
+from primekg_rgcn_tpu.evaluate.metrics import (
+    classification_metrics,
+    ranking_metrics_from_ranks,
+    ranks_of_true_tails,
+)
+from primekg_rgcn_tpu.models.rgcn import encoder_apply
+from primekg_rgcn_tpu.ops.distmult import distmult_score, distmult_score_all_tails
+from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+
+logger = logging.getLogger(__name__)
+
+
+class Evaluator:
+    def __init__(
+        self,
+        params,
+        model_cfg: ModelConfig,
+        full_graph: RelGraph,
+        test_edges: np.ndarray,  # [E, 3] (head, tail, rel)
+        eval_cfg: Optional[EvalConfig] = None,
+        *,
+        layer_fn=None,
+    ):
+        from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+
+        self.params = params
+        self.model_cfg = model_cfg
+        self.graph = full_graph
+        self.test_edges = np.asarray(test_edges, dtype=np.int32)
+        self.cfg = eval_cfg or EvalConfig()
+        self.layer_fn = layer_fn or rgcn_layer_segment
+        self.scores: Optional[np.ndarray] = None
+        self.labels: Optional[np.ndarray] = None
+
+        # One deterministic full-graph encode, reused everywhere.
+        self._node_emb = jax.jit(
+            lambda p: encoder_apply(p, full_graph, model_cfg, train=False,
+                                    layer_fn=self.layer_fn)
+        )(params)
+        self._rel_emb = params["decoder"]["rel_emb"]
+
+        self._score_triples = jax.jit(self._score_triples_impl)
+        self._rank_batch = jax.jit(self._rank_batch_impl)
+
+    # -- jitted kernels ------------------------------------------------------
+    def _score_triples_impl(self, heads, tails, rels):
+        h = jnp.take(self._node_emb, heads, axis=0)
+        t = jnp.take(self._node_emb, tails, axis=0)
+        r = jnp.take(self._rel_emb, rels, axis=0)
+        return jax.nn.sigmoid(distmult_score(h, t, r))
+
+    def _rank_batch_impl(self, heads, rels, true_tails):
+        h = jnp.take(self._node_emb, heads, axis=0)
+        r = jnp.take(self._rel_emb, rels, axis=0)
+        all_scores = distmult_score_all_tails(h, r, self._node_emb)
+        return ranks_of_true_tails(all_scores, true_tails)
+
+    # -- public API ----------------------------------------------------------
+    def compute_scores_and_labels(self, seed: Optional[int] = None):
+        """Probabilities + labels over positives and 1:num_neg sampled
+        negatives (reference: src/evaluate.py:147-217)."""
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        e = self.test_edges
+        n = e.shape[0]
+        all_scores, all_labels = [], []
+        for start in range(0, n, cfg.batch_size):
+            stop = min(start + cfg.batch_size, n)
+            h = jnp.asarray(e[start:stop, 0])
+            t = jnp.asarray(e[start:stop, 1])
+            r = jnp.asarray(e[start:stop, 2])
+            key, k = jax.random.split(key)
+            nh, nt, nr = sample_negatives(k, h, t, r, self.graph.num_nodes,
+                                          cfg.num_neg_samples)
+            probs = self._score_triples(
+                jnp.concatenate([h, nh]), jnp.concatenate([t, nt]),
+                jnp.concatenate([r, nr]))
+            all_scores.append(np.asarray(probs))
+            all_labels.append(np.concatenate([
+                np.ones(stop - start), np.zeros((stop - start) * cfg.num_neg_samples)
+            ]))
+        self.scores = np.concatenate(all_scores)
+        self.labels = np.concatenate(all_labels)
+        return self.scores, self.labels
+
+    def compute_ranking_metrics(
+        self, k_values: Optional[Sequence[int]] = None
+    ) -> Dict[str, float]:
+        k_values = list(k_values or self.cfg.k_values)
+        e = self.test_edges
+        n = e.shape[0]
+        b = self.cfg.batch_size
+        # Pad to a fixed batch shape so one compiled program serves all steps.
+        n_pad = -(-n // b) * b
+        pad = n_pad - n
+        ep = np.concatenate([e, np.zeros((pad, 3), e.dtype)], axis=0)
+        ranks = []
+        for start in range(0, n_pad, b):
+            chunk = ep[start:start + b]
+            rk = self._rank_batch(jnp.asarray(chunk[:, 0]),
+                                  jnp.asarray(chunk[:, 2]),
+                                  jnp.asarray(chunk[:, 1]))
+            ranks.append(np.asarray(rk))
+        ranks = np.concatenate(ranks)[:n]
+        return ranking_metrics_from_ranks(ranks, k_values)
+
+    def evaluate(self) -> Dict:
+        """Full evaluation dict in the reference's results.json schema
+        (reference: src/evaluate.py:341-385)."""
+        scores, labels = self.compute_scores_and_labels()
+        cls = classification_metrics(scores, labels)
+        rnk = self.compute_ranking_metrics()
+        return {
+            "classification": cls,
+            "ranking": rnk,
+            "test_edges": int(self.test_edges.shape[0]),
+            "num_nodes": int(self.graph.num_nodes),
+        }
+
+
+def save_results(metrics: Dict, output_dir, model_info: Optional[Dict] = None):
+    """results.json + metrics_summary.txt (reference: src/evaluate.py:595-652)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    with open(output_dir / "results.json", "w") as f:
+        json.dump({"metrics": metrics, "model_info": model_info or {}}, f,
+                  indent=2)
+    with open(output_dir / "metrics_summary.txt", "w") as f:
+        f.write("=" * 60 + "\nEVALUATION RESULTS SUMMARY\n" + "=" * 60 + "\n\n")
+        if model_info:
+            f.write("Model Information:\n" + "-" * 60 + "\n")
+            for k, v in model_info.items():
+                f.write(f"{k}: {v}\n")
+            f.write("\n")
+        f.write("Dataset Statistics:\n" + "-" * 60 + "\n")
+        f.write(f"Test edges: {metrics['test_edges']:,}\n")
+        f.write(f"Number of nodes: {metrics['num_nodes']:,}\n\n")
+        f.write("Classification Metrics:\n" + "-" * 60 + "\n")
+        for k, v in metrics["classification"].items():
+            f.write(f"{k}: {v:.4f}\n")
+        f.write("\nRanking Metrics:\n" + "-" * 60 + "\n")
+        for k, v in metrics["ranking"].items():
+            f.write(f"{k}: {v:.4f}\n")
+        f.write("\n" + "=" * 60 + "\n")
+    logger.info("Saved results to %s", output_dir)

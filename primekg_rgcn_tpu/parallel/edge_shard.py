@@ -1,0 +1,299 @@
+"""Edge-partitioned multi-chip RGCN execution (shard_map + psum).
+
+Scaling design (greenfield vs. the single-device reference; SURVEY.md §2.4):
+
+- Every relation bucket is split into ``n_devices`` contiguous chunks
+  (contiguity preserves dst-sortedness inside each chunk), so each device owns
+  an equal, statically-shaped edge partition with identical local bucket
+  offsets — one compiled program for all devices.
+- Inside ``shard_map`` each device computes its **partial** per-node
+  aggregation with a local sorted segment-sum, then a single ``lax.psum`` per
+  layer combines partials over the mesh axis (ICI). Mean normalization is
+  linear, so normalizing local partials before the psum is exact.
+- Candidate triple batches are data-parallel along the same axis; gradients
+  are combined with one psum of the per-device loss-sum gradients divided by
+  the global example count (exact masked-mean gradient).
+- Parameters and node features are replicated: at PrimeKG scale the feature
+  matrix is ~16 MB, far below HBM; the node-sharded + halo-exchange variant
+  for 10M-node graphs is the planned extension (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+from primekg_rgcn_tpu.data.graph import RelGraph
+from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
+from primekg_rgcn_tpu.ops.distmult import distmult_score
+from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+
+
+class ShardedGraph(NamedTuple):
+    """Device-major edge shards.
+
+    src/dst: int32[n_devices, E_local] (dst-sorted within each local bucket);
+    t_src/t_dst: the same local edges src-sorted (transpose graph, for the
+    fast sorted backward — see ops/rgcn_segment.py); local_offsets: static
+    per-device relation bucket offsets (identical across devices);
+    inv_in_deg replicated.
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    t_src: jnp.ndarray
+    t_dst: jnp.ndarray
+    inv_in_deg: jnp.ndarray
+    local_offsets: Tuple[int, ...]
+    num_nodes: int
+    num_relations: int
+
+
+def shard_rel_graph(graph: RelGraph, n_devices: int) -> ShardedGraph:
+    """Repartition a RelGraph into equal per-device edge shards (host-side)."""
+    src = np.asarray(graph.src)
+    dst = np.asarray(graph.dst)
+    sentinel = graph.num_nodes
+
+    per_dev = [([], [], [], []) for _ in range(n_devices)]
+    local_offsets = [0]
+    for r in range(graph.num_relations):
+        s, e = graph.bucket_slice(r)
+        cap = e - s
+        cap_pad = -(-cap // n_devices) * n_devices
+        loc = cap_pad // n_devices
+        bsrc = np.full(cap_pad, sentinel, np.int32)
+        bdst = np.full(cap_pad, sentinel, np.int32)
+        bsrc[:cap] = src[s:e]
+        bdst[:cap] = dst[s:e]
+        for d in range(n_devices):
+            ls = bsrc[d * loc:(d + 1) * loc]
+            ld = bdst[d * loc:(d + 1) * loc]
+            t_order = np.argsort(ls, kind="stable")
+            per_dev[d][0].append(ls)
+            per_dev[d][1].append(ld)
+            per_dev[d][2].append(ls[t_order])
+            per_dev[d][3].append(ld[t_order])
+        local_offsets.append(local_offsets[-1] + loc)
+
+    stack = lambda i: jnp.asarray(
+        np.stack([np.concatenate(per_dev[d][i]) for d in range(n_devices)]))
+    return ShardedGraph(
+        src=stack(0),
+        dst=stack(1),
+        t_src=stack(2),
+        t_dst=stack(3),
+        inv_in_deg=graph.inv_in_deg,
+        local_offsets=tuple(local_offsets),
+        num_nodes=graph.num_nodes,
+        num_relations=graph.num_relations,
+    )
+
+
+def rgcn_layer_edge_sharded(
+    layer_params,
+    x: jnp.ndarray,
+    local_edges: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    sg: ShardedGraph,
+    axis_name: str,
+) -> jnp.ndarray:
+    """One RGCN layer over this device's edge shard; exact via one psum.
+
+    Must run inside shard_map. ``local_edges`` is this device's
+    (src, dst, t_src, t_dst) [E_local] slices. Uses the same fused
+    transpose-graph aggregation and per-layer ordering as the single-device
+    path (ops/rgcn_segment.py); mean normalization commutes with both the
+    relation transform and the psum because all three are linear.
+    """
+    from primekg_rgcn_tpu.ops.rgcn_segment import make_gather_segment_sum
+
+    local_src, local_dst, local_tsrc, local_tdst = local_edges
+    n = sg.num_nodes
+    w_rel = materialize_relation_weights(layer_params)
+    din, dout = w_rel.shape[1], w_rel.shape[2]
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+
+    out = x @ layer_params["w_root"] + layer_params["bias"][None, :]
+    aggregate_first = din <= dout
+    partials = []
+    for r in range(sg.num_relations):
+        s, e = sg.local_offsets[r], sg.local_offsets[r + 1]
+        if e == s:
+            partials.append(None)
+            continue
+        agg_op = make_gather_segment_sum(
+            local_src[s:e], local_dst[s:e],
+            local_tsrc[s:e], local_tdst[s:e], n + 1)
+        inv_deg = sg.inv_in_deg[r][:n, None]
+        if aggregate_first:
+            partials.append(agg_op(x_pad)[:n] * inv_deg)
+        else:
+            partials.append(agg_op(x_pad @ w_rel[r])[:n] * inv_deg)
+
+    if aggregate_first:
+        # psum the [R, N, Din] normalized partial aggregates in one
+        # collective, then transform.
+        stacked = jnp.stack([p for p in partials if p is not None])
+        stacked = jax.lax.psum(stacked, axis_name)
+        i = 0
+        for r in range(sg.num_relations):
+            if partials[r] is None:
+                continue
+            out = out + stacked[i] @ w_rel[r]
+            i += 1
+    else:
+        total = jnp.zeros((n, dout), x.dtype)
+        for p in partials:
+            if p is not None:
+                total = total + p
+        out = out + jax.lax.psum(total, axis_name)
+    return out
+
+
+def _sharded_encoder(params, local_edges, sg: ShardedGraph,
+                     cfg: ModelConfig, axis_name: str, dropout_rng=None,
+                     train: bool = False):
+    x = params["encoder"]["node_emb"]
+    x = rgcn_layer_edge_sharded(params["encoder"]["conv1"], x, local_edges,
+                                sg, axis_name)
+    x = jax.nn.relu(x)
+    if train and cfg.dropout > 0.0 and dropout_rng is not None:
+        keep = 1.0 - cfg.dropout
+        # Same key on every device -> identical mask (params are replicated).
+        mask = jax.random.bernoulli(dropout_rng, keep, x.shape)
+        x = jnp.where(mask, x / keep, 0.0)
+    x = rgcn_layer_edge_sharded(params["encoder"]["conv2"], x, local_edges,
+                                sg, axis_name)
+    return x
+
+
+def build_sharded_train_step(
+    mesh: Mesh,
+    sg: ShardedGraph,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    axis_name: str = "data",
+):
+    """Compile one data+edge-parallel training update.
+
+    Returns ``step(state, batch, key) -> (state, (loss, acc))`` where
+    ``batch`` is a replicated [B, 4] int32 array of (head, tail, rel, mask)
+    rows; B must divide evenly by the mesh size (pad with mask=0 rows).
+    """
+    n_dev = mesh.devices.size
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
+             out_specs=(P(), P(), (P(), P())),
+             check_vma=False)
+    def _step(params, opt_state, edge_shard, batch_shard, key, dropout_key):
+        # Device-major global arrays [n_dev, ...] arrive as [1, ...] local
+        # views inside shard_map; squeeze the leading device axis.
+        local_edges = tuple(a[0] for a in edge_shard)
+        batch = batch_shard[0]  # [B/n, 4]
+
+        def loss_sums(p):
+            h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+            mask = batch[:, 3].astype(jnp.float32)
+            # Fold the device index into the sampling key so negatives differ
+            # across shards.
+            dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            nh, nt, nr = sample_negatives(dev_key, h, t, r, sg.num_nodes,
+                                          train_cfg.num_neg_samples)
+            heads = jnp.concatenate([h, nh])
+            tails = jnp.concatenate([t, nt])
+            rels = jnp.concatenate([r, nr])
+            labels = jnp.concatenate([jnp.ones_like(h, jnp.float32),
+                                      jnp.zeros_like(nh, jnp.float32)])
+            weights = jnp.concatenate(
+                [mask, jnp.repeat(mask, train_cfg.num_neg_samples)])
+
+            node_emb = _sharded_encoder(p, local_edges, sg, model_cfg,
+                                        axis_name, dropout_rng=dropout_key,
+                                        train=True)
+            he = jnp.take(node_emb, heads, axis=0)
+            te = jnp.take(node_emb, tails, axis=0)
+            re = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)
+            if model_cfg.decoder_dropout > 0.0:
+                keep = 1.0 - model_cfg.decoder_dropout
+                dk = jax.random.fold_in(dropout_key,
+                                        jax.lax.axis_index(axis_name) + 1)
+                m = jax.random.bernoulli(dk, keep, re.shape)
+                re = jnp.where(m, re / keep, 0.0)
+            scores = distmult_score(he, te, re)
+            per_ex = optax.sigmoid_binary_cross_entropy(scores, labels)
+            loss_sum = (per_ex * weights).sum()
+            preds = (jax.nn.sigmoid(scores) > 0.5).astype(jnp.float32)
+            correct = ((preds == labels).astype(jnp.float32) * weights).sum()
+            return loss_sum, (correct, weights.sum())
+
+        (loss_sum, (correct, count)), grads = jax.value_and_grad(
+            loss_sums, has_aux=True)(params)
+
+        # Exact global masked-mean gradient: psum the per-device loss-sum
+        # gradients, divide by the global weight count.
+        grads = jax.lax.psum(grads, axis_name)
+        total_count = jax.lax.psum(count, axis_name)
+        grads = jax.tree_util.tree_map(
+            lambda g: g / jnp.maximum(total_count, 1.0), grads)
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        total_loss = jax.lax.psum(loss_sum, axis_name)
+        total_correct = jax.lax.psum(correct, axis_name)
+        loss = total_loss / jnp.maximum(total_count, 1.0)
+        acc = total_correct / jnp.maximum(total_count, 1.0)
+        return params, opt_state, (loss, acc)
+
+    edge_sharding = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+    edge_arrays = tuple(
+        jax.device_put(a, edge_sharding)
+        for a in (sg.src, sg.dst, sg.t_src, sg.t_dst))
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        k_neg, k_drop = jax.random.split(key)
+        # batch arrives [B, 4]; reshape device-major for the shard_map split.
+        b = batch.shape[0]
+        batch_dm = batch.reshape(n_dev, b // n_dev, 4)
+        params, opt_state, (loss, acc) = _step(
+            params, opt_state, edge_arrays, batch_dm, k_neg, k_drop)
+        return params, opt_state, (loss, acc)
+
+    return step
+
+
+def build_sharded_forward(
+    mesh: Mesh,
+    sg: ShardedGraph,
+    model_cfg: ModelConfig,
+    *,
+    axis_name: str = "data",
+):
+    """Jitted replicated-output full-graph encode over the edge-sharded graph."""
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
+             out_specs=P(), check_vma=False)
+    def _encode(params, edge_shard):
+        # shard_map presents the [n_dev, E_local] device-major arrays as
+        # [1, E_local] local views; squeeze the leading device axis.
+        return _sharded_encoder(params, tuple(a[0] for a in edge_shard), sg,
+                                model_cfg, axis_name, train=False)
+
+    @jax.jit
+    def encode(params):
+        return _encode(params, (sg.src, sg.dst, sg.t_src, sg.t_dst))
+
+    return encode

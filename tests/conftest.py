@@ -10,7 +10,6 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +19,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+# The hosted axon TPU plugin registers itself via sitecustomize and pins
+# JAX_PLATFORMS=axon; the env var alone cannot force CPU. The config update
+# below must happen after `import jax` but before any backend initialization.
+import jax  # noqa: E402
+
+if os.environ.get("PRIMEKG_TPU_TESTS", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

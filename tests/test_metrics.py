@@ -1,0 +1,125 @@
+"""Metric parity vs sklearn and vs the reference's argsort ranking loop."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.metrics import (
+    average_precision_score,
+    f1_score,
+    precision_score,
+    recall_score,
+    roc_auc_score,
+)
+
+from primekg_rgcn_tpu.evaluate.metrics import (
+    auc_roc,
+    average_precision,
+    classification_metrics,
+    ranking_metrics_from_ranks,
+    ranks_of_true_tails,
+)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_auc_matches_sklearn(seed):
+    rng = np.random.default_rng(seed)
+    n = 5000
+    labels = rng.integers(0, 2, n)
+    scores = rng.normal(size=n) + labels * rng.uniform(0.2, 1.5)
+    ours = float(auc_roc(jnp.asarray(scores, jnp.float32),
+                         jnp.asarray(labels, jnp.float32)))
+    theirs = roc_auc_score(labels, scores.astype(np.float32))
+    assert abs(ours - theirs) < 1e-6
+
+
+def test_auc_with_ties_matches_sklearn():
+    rng = np.random.default_rng(3)
+    n = 2000
+    labels = rng.integers(0, 2, n)
+    scores = rng.integers(0, 10, n).astype(np.float32)  # heavy ties
+    ours = float(auc_roc(jnp.asarray(scores), jnp.asarray(labels, jnp.float32)))
+    theirs = roc_auc_score(labels, scores)
+    assert abs(ours - theirs) < 1e-6
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_average_precision_matches_sklearn(seed):
+    rng = np.random.default_rng(seed)
+    n = 3000
+    labels = rng.integers(0, 2, n)
+    scores = rng.normal(size=n) + labels
+    assert abs(average_precision(scores, labels)
+               - average_precision_score(labels, scores)) < 1e-10
+    # with ties
+    scores_q = np.round(scores, 1)
+    assert abs(average_precision(scores_q, labels)
+               - average_precision_score(labels, scores_q)) < 1e-10
+
+
+def test_classification_metrics_match_sklearn():
+    rng = np.random.default_rng(7)
+    n = 4000
+    labels = rng.integers(0, 2, n)
+    probs = np.clip(rng.normal(0.5, 0.3, n) + 0.2 * labels, 0, 1)
+    m = classification_metrics(probs, labels)
+    preds = (probs >= 0.5).astype(int)
+    assert abs(m["precision"] - precision_score(labels, preds)) < 1e-10
+    assert abs(m["recall"] - recall_score(labels, preds)) < 1e-10
+    assert abs(m["f1_score"] - f1_score(labels, preds)) < 1e-10
+    assert abs(m["auc_roc"] - roc_auc_score(labels, probs)) < 1e-5
+    assert abs(m["auc_pr"] - average_precision_score(labels, probs)) < 1e-10
+
+
+def test_ranks_match_argsort_loop():
+    """Vectorized rank must equal the reference's argsort-position rank
+    (reference: src/evaluate.py:264-276) when scores have no ties."""
+    rng = np.random.default_rng(11)
+    b, n = 64, 500
+    scores = rng.normal(size=(b, n))
+    true_tails = rng.integers(0, n, b)
+    ours = np.asarray(ranks_of_true_tails(jnp.asarray(scores),
+                                          jnp.asarray(true_tails)))
+    for i in range(b):
+        order = np.argsort(-scores[i])
+        expected = int(np.where(order == true_tails[i])[0][0]) + 1
+        assert ours[i] == expected
+
+
+def test_ranking_metrics_formulas():
+    ranks = np.array([1, 2, 10, 100])
+    m = ranking_metrics_from_ranks(ranks, k_values=[10, 50])
+    assert m["mrr"] == pytest.approx(np.mean([1, 0.5, 0.1, 0.01]))
+    assert m["mean_rank"] == pytest.approx(28.25)
+    assert m["median_rank"] == pytest.approx(6.0)
+    assert m["hits@10"] == pytest.approx(0.75)
+    assert m["hits@50"] == pytest.approx(0.75)
+
+
+def test_evaluator_end_to_end(tmp_path):
+    import jax
+    from primekg_rgcn_tpu.config import EvalConfig, ModelConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.evaluate.evaluator import Evaluator, save_results
+    from primekg_rgcn_tpu.models.rgcn import init_params
+
+    rng = np.random.default_rng(0)
+    n, r, e = 80, 3, 500
+    graph = build_rel_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                            rng.integers(0, r, e), n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    test_edges = np.stack([rng.integers(0, n, 130), rng.integers(0, n, 130),
+                           rng.integers(0, r, 130)], axis=1)
+    ev = Evaluator(params, cfg, graph, test_edges,
+                   EvalConfig(batch_size=64, k_values=(10, 50)))
+    metrics = ev.evaluate()
+    assert set(metrics) == {"classification", "ranking", "test_edges",
+                            "num_nodes"}
+    assert 0.0 <= metrics["classification"]["auc_roc"] <= 1.0
+    assert metrics["test_edges"] == 130
+    assert set(metrics["ranking"]) == {"mrr", "mean_rank", "median_rank",
+                                       "hits@10", "hits@50"}
+    save_results(metrics, tmp_path, {"epoch": 1})
+    assert (tmp_path / "results.json").exists()
+    assert (tmp_path / "metrics_summary.txt").exists()
