@@ -19,11 +19,16 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 # Node-type index ranges matching the reference's sorted node mapping
-# (sorted by (node_type, node_id): disease < drug < gene/protein).
+# (sorted by (node_type, node_id): disease < drug < gene/protein). Note the
+# reference's statistics.csv per-type counts (5593/6282/19093) sum to 30,968,
+# but its actual node mapping holds 30,926 entries (README.md, mappings.pt) —
+# the stats were computed before (id, type) de-duplication. We pin the real
+# total and absorb the difference in the gene count.
 PRIMEKG_NUM_DISEASE = 5593
 PRIMEKG_NUM_DRUG = 6282
-PRIMEKG_NUM_GENE = 19093
+PRIMEKG_NUM_GENE = 19051
 PRIMEKG_NUM_NODES = PRIMEKG_NUM_DISEASE + PRIMEKG_NUM_DRUG + PRIMEKG_NUM_GENE
+assert PRIMEKG_NUM_NODES == 30926
 
 # Undirected row counts per standardized relation (statistics.csv).
 PRIMEKG_REL_ROWS = {"drug-gene": 51306, "gene-gene": 642150, "gene-disease": 160822}

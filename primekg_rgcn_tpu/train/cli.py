@@ -1,0 +1,147 @@
+"""Training CLI with the reference's argument surface.
+
+Usage parity with ``python src/train.py`` (reference: src/train.py:635-770):
+    python -m primekg_rgcn_tpu.train.cli --epochs 100 --lr 0.001 \
+        --batch_size 1024 --data_dir data/processed --output_dir output
+
+Adds: --resume (missing from the reference, SURVEY.md §5), --impl
+(xla segment-sum vs pallas kernel), --compute_dtype, --synthetic (train on a
+PrimeKG-statistics synthetic graph when no processed data is available —
+the reference repo ships no train split).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train RGCN model for drug-disease link prediction")
+    p.add_argument("--data_dir", default="data/processed")
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--checkpoint_dir", default=None,
+                   help="[DEPRECATED] use --output_dir")
+    p.add_argument("--embedding_dim", type=int, default=64)
+    p.add_argument("--hidden_dim", type=int, default=128)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--decoder_dropout", type=float, default=0.1)
+    p.add_argument("--num_bases", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
+    p.add_argument("--num_neg_samples", type=int, default=1)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--save_every", type=int, default=10)
+    p.add_argument("--early_stopping", type=int, default=0)
+    p.add_argument("--seed", type=int, default=42)
+    # TPU-native additions
+    p.add_argument("--impl", choices=["auto", "xla", "pallas"],
+                   default="auto", help="message-passing implementation")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="float32")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path to resume from")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on a PrimeKG-statistics synthetic graph")
+    p.add_argument("--synthetic_scale", type=float, default=1.0)
+    return p.parse_args(argv)
+
+
+def _load_graphs(args):
+    """(train_graph, full_graph, train_edges, val_edges, model dims)."""
+    from primekg_rgcn_tpu.data import artifacts
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.data.synthetic import bidirect, primekg_like
+
+    log = logging.getLogger("train")
+    if args.synthetic:
+        raw = primekg_like(seed=args.seed, scale=args.synthetic_scale)
+        src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
+        n, r = raw["num_nodes"], raw["num_relations"]
+        # Hold out 15% of drug-gene edges as a validation proxy.
+        dg = np.flatnonzero(rel == 0)
+        rng = np.random.default_rng(args.seed)
+        val_idx = rng.choice(dg, size=max(len(dg) // 7, 1), replace=False)
+        mask = np.ones(len(src), bool)
+        mask[val_idx] = False
+        train_edges = np.stack([src[mask], dst[mask], rel[mask]], 1)
+        val_edges = np.stack([src[val_idx], dst[val_idx], rel[val_idx]], 1)
+        train_graph = build_rel_graph(train_edges[:, 0], train_edges[:, 1],
+                                      train_edges[:, 2], n, r)
+        full_graph = build_rel_graph(src, dst, rel, n, r)
+        log.info("Synthetic graph: %d nodes, %d train edges", n,
+                 len(train_edges))
+        return train_graph, full_graph, train_edges, val_edges, n, r
+
+    ds = artifacts.load_dataset(args.data_dir)
+    train, val, full = ds["train"], ds["val"], ds["full"]
+    if full is None:
+        full = train
+    train_edges = artifacts.split_to_edges(train)
+    val_edges = artifacts.split_to_edges(val) if val else train_edges[:1024]
+    train_graph = artifacts.split_to_rel_graph(train)
+    full_graph = artifacts.split_to_rel_graph(full)
+    log.info("Loaded %s: %d nodes, %d train / %d val edges", args.data_dir,
+             train["num_nodes"], len(train_edges), len(val_edges))
+    return (train_graph, full_graph, train_edges, val_edges,
+            train["num_nodes"], train["num_relations"])
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.checkpoint_dir is not None:
+        logging.getLogger("train").warning(
+            "--checkpoint_dir is deprecated; use --output_dir")
+        args.output_dir = args.checkpoint_dir
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        handlers=[logging.FileHandler("training.log"),
+                  logging.StreamHandler(sys.stdout)])
+
+    from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+    from primekg_rgcn_tpu.train.loop import Trainer
+
+    (train_graph, full_graph, train_edges, val_edges,
+     num_nodes, num_relations) = _load_graphs(args)
+
+    model_cfg = ModelConfig(
+        num_nodes=num_nodes, num_relations=num_relations,
+        embedding_dim=args.embedding_dim, hidden_dim=args.hidden_dim,
+        dropout=args.dropout, decoder_dropout=args.decoder_dropout,
+        num_bases=args.num_bases, compute_dtype=args.compute_dtype)
+    train_cfg = TrainConfig(
+        epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+        weight_decay=args.weight_decay, optimizer=args.optimizer,
+        num_neg_samples=args.num_neg_samples, grad_clip=args.grad_clip,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        save_every=args.save_every, early_stopping=args.early_stopping,
+        seed=args.seed, impl=args.impl)
+
+    import functools
+    from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+
+    layer_fn = functools.partial(rgcn_layer_segment,
+                                 impl="xla" if args.impl == "xla" else "auto")
+
+    trainer = Trainer(model_cfg, train_cfg, train_graph, full_graph,
+                      train_edges, val_edges, args.output_dir,
+                      layer_fn=layer_fn)
+    if args.resume:
+        trainer.resume(args.resume)
+    trainer.train()
+    logging.getLogger("train").info("Training completed successfully!")
+
+
+if __name__ == "__main__":
+    main()

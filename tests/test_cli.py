@@ -1,0 +1,110 @@
+"""End-to-end CLI pipeline test: preprocess -> train -> evaluate, exercising
+the reference's three-stage workflow (reference: README quickstart) on a tiny
+synthetic kg.csv entirely in-process."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """Generate a small but connected kg.csv and preprocess it."""
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(0)
+    n_drug, n_gene, n_dis = 20, 40, 10
+    rows = []
+    for _ in range(300):
+        d, g = rng.integers(n_drug), rng.integers(n_gene)
+        rows.append(("drug_protein", f"DB{d}", "drug", f"drug{d}",
+                     f"P{g}", "gene/protein", f"gene{g}"))
+    for _ in range(200):
+        a, b = rng.integers(n_gene), rng.integers(n_gene)
+        rows.append(("protein_protein", f"P{a}", "gene/protein", f"gene{a}",
+                     f"P{b}", "gene/protein", f"gene{b}"))
+    for _ in range(100):
+        s, g = rng.integers(n_dis), rng.integers(n_gene)
+        rows.append(("disease_protein", f"D{s}", "disease", f"dis{s}",
+                     f"P{g}", "gene/protein", f"gene{g}"))
+    pd.DataFrame(rows, columns=["relation", "x_id", "x_type", "x_name",
+                                "y_id", "y_type", "y_name"]).to_csv(
+        tmp / "kg.csv", index=False)
+
+    from primekg_rgcn_tpu.data.preprocess import main as preprocess_main
+
+    preprocess_main(["--raw-data", str(tmp / "kg.csv"),
+                     "--processed-dir", str(tmp / "processed"),
+                     "--no-torch"])
+    return tmp
+
+
+def test_train_then_evaluate_cli(tiny_dataset):
+    from primekg_rgcn_tpu.train.cli import main as train_main
+    from primekg_rgcn_tpu.evaluate.cli import main as eval_main
+
+    out = tiny_dataset / "output"
+    train_main(["--data_dir", str(tiny_dataset / "processed"),
+                "--output_dir", str(out),
+                "--epochs", "2", "--batch_size", "256",
+                "--embedding_dim", "8", "--hidden_dim", "8",
+                "--save_every", "1"])
+    assert (out / "models" / "final_model.msgpack").exists()
+
+    results_dir = tiny_dataset / "results"
+    metrics = eval_main(["--model_path", str(out / "models" / "best_model"),
+                         "--data_dir", str(tiny_dataset / "processed"),
+                         "--output_dir", str(results_dir),
+                         "--k_values", "10", "50",
+                         "--batch_size", "64"])
+
+    with open(results_dir / "results.json") as f:
+        saved = json.load(f)
+    # Schema parity with the reference results.json
+    # (reference: results/results.json).
+    assert set(saved) == {"metrics", "model_info"}
+    cls = saved["metrics"]["classification"]
+    assert {"auc_roc", "auc_pr", "precision", "recall", "f1_score",
+            "threshold"} <= set(cls)
+    rnk = saved["metrics"]["ranking"]
+    assert {"mrr", "mean_rank", "median_rank", "hits@10", "hits@50"} <= set(rnk)
+    assert saved["model_info"]["num_parameters"] > 0
+
+    for png in ["confusion_matrix.png", "roc_curve.png",
+                "precision_recall_curve.png", "score_distribution.png"]:
+        assert (results_dir / png).exists()
+    assert (results_dir / "metrics_summary.txt").exists()
+
+
+def test_train_resume_cli(tiny_dataset):
+    from primekg_rgcn_tpu.train.cli import main as train_main
+
+    out = tiny_dataset / "output_resume"
+    train_main(["--data_dir", str(tiny_dataset / "processed"),
+                "--output_dir", str(out), "--epochs", "1",
+                "--batch_size", "256", "--embedding_dim", "8",
+                "--hidden_dim", "8"])
+    # Resume from the final model and continue to epoch 2.
+    train_main(["--data_dir", str(tiny_dataset / "processed"),
+                "--output_dir", str(out), "--epochs", "2",
+                "--batch_size", "256", "--embedding_dim", "8",
+                "--hidden_dim", "8",
+                "--resume", str(out / "models" / "final_model")])
+    from primekg_rgcn_tpu.train import checkpoint as ckpt
+
+    payload = ckpt.load(out / "models" / "final_model")
+    assert payload["epoch"] == 2
+    assert len(payload["history"]["train_losses"]) == 2
+
+
+def test_synthetic_training_cli(tmp_path):
+    from primekg_rgcn_tpu.train.cli import main as train_main
+
+    out = tmp_path / "out"
+    train_main(["--synthetic", "--synthetic_scale", "0.01",
+                "--output_dir", str(out), "--epochs", "1",
+                "--batch_size", "512", "--embedding_dim", "8",
+                "--hidden_dim", "8"])
+    assert (out / "models" / "final_model.msgpack").exists()
