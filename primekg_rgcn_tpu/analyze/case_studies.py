@@ -1,0 +1,165 @@
+"""Drug-repurposing case studies (A2).
+
+Re-implements the reference DrugDiseaseCaseStudy (reference:
+src/case_studies.py): given a disease name, rank all drugs by cosine
+similarity of encoder embeddings (rescaled to [0, 1],
+case_studies.py:261-275), mark known direct associations
+(case_studies.py:286-317), find connecting paths (cutoff 4,
+case_studies.py:319-351), and emit a bar chart + path network PNG + text
+report + predictions.json per disease.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from primekg_rgcn_tpu.analyze.core import AnalysisContext  # noqa: E402
+
+logger = logging.getLogger(__name__)
+
+
+class DrugDiseaseCaseStudy:
+    def __init__(self, ctx: AnalysisContext, output_dir):
+        self.ctx = ctx
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+
+    def analyze_prediction(self, drug_idx: int, disease_idx: int,
+                           max_paths: int = 5) -> Dict:
+        paths = self.ctx.find_paths(drug_idx, disease_idx, max_length=4,
+                                    max_paths=max_paths)
+        genes = set(int(g) for g in self.ctx.gene_indices)
+        path_genes = sorted({n for p in paths for n in p[1:-1] if n in genes})
+        return {
+            "num_paths": len(paths),
+            "paths": [[self.ctx.node_names[n] for n in p] for p in paths],
+            "shortest_path_length": min((len(p) - 1 for p in paths),
+                                        default=None),
+            "connecting_genes": [self.ctx.node_names[g] for g in path_genes],
+        }
+
+    def run_case_study(self, disease_name: str, top_k: int = 10,
+                       threshold: float = 0.0) -> Optional[Dict]:
+        ctx = self.ctx
+        disease_idx = ctx.find_node(disease_name, "disease")
+        if disease_idx is None:
+            logger.error("Disease not found: %s", disease_name)
+            return None
+        resolved = ctx.node_names[disease_idx]
+        logger.info("Case study: %s (node %d)", resolved, disease_idx)
+
+        preds = ctx.top_drugs_for_disease(disease_idx, top_k, threshold)
+        known = ctx.known_direct_associations(disease_idx,
+                                             [d for d, _ in preds])
+        results = []
+        for rank, (drug_idx, score) in enumerate(preds, 1):
+            detail = self.analyze_prediction(drug_idx, disease_idx)
+            results.append({
+                "rank": rank,
+                "drug": ctx.node_names[drug_idx],
+                "drug_idx": int(drug_idx),
+                "score": float(score),
+                "known_association": bool(known[drug_idx]),
+                **detail,
+            })
+
+        out = {
+            "disease": resolved,
+            "disease_idx": int(disease_idx),
+            "top_k": top_k,
+            "predictions": results,
+        }
+        self._save(out)
+        return out
+
+    # -- outputs -------------------------------------------------------------
+    def _save(self, out: Dict):
+        safe = out["disease"].replace(" ", "_").replace("/", "_")[:80]
+        d = self.output_dir / safe
+        d.mkdir(parents=True, exist_ok=True)
+
+        with open(d / "predictions.json", "w") as f:
+            json.dump(out, f, indent=2)
+
+        # Bar chart of prediction scores.
+        fig, ax = plt.subplots(figsize=(10, 6))
+        names = [p["drug"][:30] for p in out["predictions"]]
+        scores = [p["score"] for p in out["predictions"]]
+        colors = ["tab:green" if p["known_association"] else "tab:blue"
+                  for p in out["predictions"]]
+        ax.barh(names[::-1], scores[::-1], color=colors[::-1])
+        ax.set_xlabel("Prediction score (cosine, rescaled)")
+        ax.set_title(f"Top drug predictions: {out['disease'][:60]}")
+        fig.tight_layout()
+        fig.savefig(d / "predictions.png", dpi=150)
+        plt.close(fig)
+
+        # Path network of the top prediction.
+        top_with_paths = next((p for p in out["predictions"]
+                               if p["num_paths"] > 0), None)
+        if top_with_paths:
+            self._plot_path_network(d, out["disease"], top_with_paths)
+
+        # Text report.
+        lines = ["=" * 60, f"CASE STUDY: {out['disease']}", "=" * 60, ""]
+        for p in out["predictions"]:
+            tag = "KNOWN" if p["known_association"] else "novel"
+            lines.append(f"#{p['rank']:2d} {p['drug'][:40]:42s} "
+                         f"score={p['score']:.4f} [{tag}] "
+                         f"paths={p['num_paths']}")
+            if p["connecting_genes"]:
+                lines.append(f"      via genes: "
+                             f"{', '.join(p['connecting_genes'][:6])}")
+        (d / "report.txt").write_text("\n".join(lines))
+        logger.info("Saved case study to %s", d)
+
+    def _plot_path_network(self, outdir: Path, disease: str, pred: Dict):
+        import networkx as nx
+
+        g = nx.Graph()
+        for path in pred["paths"]:
+            for a, b in zip(path, path[1:]):
+                g.add_edge(a[:24], b[:24])
+        if not g.nodes:
+            return
+        fig, ax = plt.subplots(figsize=(12, 8))
+        pos = nx.spring_layout(g, seed=42)
+        nx.draw_networkx(g, pos, ax=ax, node_color="lightsteelblue",
+                         node_size=900, font_size=7)
+        ax.set_title(f"Paths: {pred['drug'][:30]} -> {disease[:40]}")
+        ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(outdir / "path_network.png", dpi=150)
+        plt.close(fig)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Drug-disease case studies")
+    p.add_argument("--disease", required=True)
+    p.add_argument("--top_k", type=int, default=10)
+    p.add_argument("--threshold", type=float, default=0.0)
+    p.add_argument("--model_path", default="output/models/best_model")
+    p.add_argument("--data_dir", default="data/processed")
+    p.add_argument("--output_dir", default="results/case_studies")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    ctx = AnalysisContext(args.model_path, args.data_dir)
+    study = DrugDiseaseCaseStudy(ctx, args.output_dir)
+    return study.run_case_study(args.disease, args.top_k, args.threshold)
+
+
+if __name__ == "__main__":
+    main()
