@@ -50,7 +50,8 @@ def materialize_relation_weights(layer_params: Dict[str, jnp.ndarray]) -> jnp.nd
 def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
                             *, impl: str = "auto",
                             mxu_dtype=jnp.float32,
-                            dst_host=None, t_src_host=None):
+                            dst_host=None, t_src_host=None,
+                            scale=None, t_scale=None):
     """Fused sparse aggregation ``out[d] = sum_{e: dst[e]=d} x[src[e]]`` with a
     transpose-graph backward.
 
@@ -89,34 +90,41 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
     else:
         use_pallas = False
 
-    def _run(x, take_ids, seg_ids, seg_host):
-        """Gather rows then segment-sum. The Pallas path pads the *node*
-        table (N rows) to a lane-aligned width before the gather so the edge
-        message stream is written exactly once at its final width."""
+    def _run(x, take_ids, seg_ids, seg_host, seg_scale):
+        """Gather rows (optionally scaled per edge) then segment-sum. The
+        Pallas path pads the *node* table (N rows) to a lane-aligned width
+        before the gather so the edge message stream is written exactly once
+        at its final width."""
         if use_pallas:
             d_dim = x.shape[1]
             pad = (-d_dim) % 128
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad)))
             msg = jnp.take(x, take_ids, axis=0)
+            if seg_scale is not None:
+                msg = msg * seg_scale[:, None]
             out = sorted_segment_sum_pallas(msg, seg_ids, seg_host,
                                             num_segments, mxu_dtype=mxu_dtype)
             return out[:, :d_dim]
         msg = jnp.take(x, take_ids, axis=0)
+        if seg_scale is not None:
+            msg = msg * seg_scale[:, None]
         return jax.ops.segment_sum(msg, seg_ids, num_segments=num_segments,
                                    indices_are_sorted=True)
 
     @jax.custom_vjp
     def f(x):
-        return _run(x, src, dst, dst_host)
+        return _run(x, src, dst, dst_host, scale)
 
     def fwd(x):
-        return _run(x, src, dst, dst_host), None
+        return _run(x, src, dst, dst_host, scale), None
 
     def bwd(_, g):
         # d/dx: route each edge's output-row cotangent back to its source row.
         # Same op on the transpose graph -> sorted segment-sum, not a scatter.
-        return (_run(g, t_dst, t_src, tsrc_host),)
+        # Per-edge scales are constants w.r.t. x, so the cotangent carries the
+        # same scale in transpose order.
+        return (_run(g, t_dst, t_src, tsrc_host, t_scale),)
 
     f.defvjp(fwd, bwd)
     return f
@@ -160,6 +168,7 @@ def rgcn_layer_segment(
     except Exception:
         dst_h = tsrc_h = None
 
+    edge_norm = graph.norm_mode == "edge"
     out = xc @ w_root + bias[None, :]
     aggregate_first = din <= dout
     for r in range(graph.num_relations):
@@ -173,7 +182,16 @@ def rgcn_layer_segment(
             mxu_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
                        else jnp.float32),
             dst_host=None if dst_h is None else dst_h[s:e],
-            t_src_host=None if tsrc_h is None else tsrc_h[s:e])
+            t_src_host=None if tsrc_h is None else tsrc_h[s:e],
+            scale=graph.edge_scale[s:e] if edge_norm else None,
+            t_scale=graph.t_edge_scale[s:e] if edge_norm else None)
+        if edge_norm:
+            # Messages are pre-scaled by 1/deg(dst) per edge; no table.
+            if aggregate_first:
+                out = out + agg_op(x_pad)[:n] @ w_rel[r]
+            else:
+                out = out + agg_op(x_pad @ w_rel[r])[:n]
+            continue
         inv_deg = graph.inv_in_deg[r][:n, None].astype(compute_dtype)
         if aggregate_first:
             # mean_r(x) @ W_r : scatter bandwidth scales with Din.

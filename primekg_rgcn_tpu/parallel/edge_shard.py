@@ -59,6 +59,10 @@ class ShardedGraph(NamedTuple):
 
 def shard_rel_graph(graph: RelGraph, n_devices: int) -> ShardedGraph:
     """Repartition a RelGraph into equal per-device edge shards (host-side)."""
+    if graph.norm_mode != "dense":
+        raise NotImplementedError(
+            "edge-sharded execution currently requires dense normalization; "
+            "build the graph with norm='dense'")
     src = np.asarray(graph.src)
     dst = np.asarray(graph.dst)
     sentinel = graph.num_nodes
