@@ -166,3 +166,53 @@ def get_embeddings(params: Params, graph: RelGraph, cfg: ModelConfig,
                    *, layer_fn=rgcn_layer_segment) -> jnp.ndarray:
     """Encoder output without dropout, reference rgcn.py:397-415."""
     return encoder_apply(params, graph, cfg, train=False, layer_fn=layer_fn)
+
+
+def encoder_apply_sampled(
+    params: Params,
+    batch,  # data.sampling.SampledBatch
+    cfg: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Encode only a sampled neighborhood block (mini-batch mode).
+
+    The reference has no sampled path (its README lists mini-batch sampling
+    as unimplemented); semantics here: per-relation mean over the *sampled*
+    neighbors (the standard unbiased estimator), same root/bias/ReLU/dropout
+    structure as the full-graph encoder. Returns [num_seeds, hidden_dim]
+    embeddings for the first ``blocks[-1].m_out`` frontier entries.
+    """
+    from primekg_rgcn_tpu.data.sampling import block_aggregate
+    from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
+
+    enc = params["encoder"]
+    n = cfg.num_nodes
+    emb_pad = jnp.concatenate(
+        [enc["node_emb"], jnp.zeros((1, cfg.embedding_dim))], axis=0)
+    x = jnp.take(emb_pad, batch.frontier, axis=0)   # zeros at sentinels
+    frontier = batch.frontier
+
+    layers = [enc["conv1"], enc["conv2"]]
+    if len(batch.blocks) != len(layers):
+        raise ValueError(
+            f"need {len(layers)} sampled blocks, got {len(batch.blocks)}")
+
+    for li, (layer, block) in enumerate(zip(layers, batch.blocks)):
+        x = block_aggregate(layer, x, block, materialize_relation_weights)
+        # Invalid frontier slots must stay exactly zero (the bias would
+        # otherwise leak into higher layers through their sampled picks).
+        out_ids = frontier[: block.m_out]
+        x = jnp.where((out_ids == n)[:, None], 0.0, x)
+        frontier = out_ids
+        if li < len(layers) - 1:
+            x = jax.nn.relu(x)
+            if train and cfg.dropout > 0.0:
+                if dropout_rng is None:
+                    raise ValueError("dropout_rng required when train=True")
+                dropout_rng, k = jax.random.split(dropout_rng)
+                keep = 1.0 - cfg.dropout
+                mask = jax.random.bernoulli(k, keep, x.shape)
+                x = jnp.where(mask, x / keep, 0.0)
+    return x
