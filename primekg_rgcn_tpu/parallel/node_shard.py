@@ -1,0 +1,351 @@
+"""Node-sharded multi-chip RGCN with all-to-all halo exchange.
+
+The memory-scaling companion to ``edge_shard.py`` (which replicates node
+features and psums partial aggregates — right at PrimeKG scale, impossible at
+10M nodes). Here (BASELINE.json config 5):
+
+- Nodes are partitioned contiguously across the mesh axis; device d owns
+  feature rows [d*Nloc, (d+1)*Nloc).
+- Edges live with their **destination's** owner, so aggregation writes are
+  purely local — no psum over node features at all.
+- The only communication is the **halo exchange**: before aggregating, each
+  device ships the feature rows its peers' edges need (precomputed, deduped,
+  statically padded request lists) through ONE ``lax.all_to_all`` per layer,
+  riding ICI. Per-device traffic is O(halo) — the boundary cut — instead of
+  O(N) for replication.
+- Every index (local edge endpoints remapped into [local | halo] slots,
+  serve lists, per-device degree tables) is computed once on the host and
+  stored device-major, so the shard_map body is pure gathers + one
+  collective + sorted segment-sums.
+
+The backward pass differentiates through the collective (the transpose of
+all_to_all is all_to_all) and the local gathers automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+from primekg_rgcn_tpu.data.graph import RelGraph, edge_arrays_from_graph
+from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
+from primekg_rgcn_tpu.ops.distmult import distmult_score
+from primekg_rgcn_tpu.train.loop import TrainState
+from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class NodeShardedGraph(NamedTuple):
+    """Device-major node partition + halo metadata.
+
+    n_loc: rows per device (last device padded).
+    src_idx: int32[n, E_loc] indices into the extended local feature table
+        ``[x_local (n_loc) | zero sentinel (1) | halo (n*P)]``.
+    dst_idx: int32[n, E_loc] local destination rows (sentinel = n_loc).
+    inv_deg: float32[n, R, n_loc + 1] local reciprocal in-degrees.
+    serve: int32[n, n, P] local row ids each device serves to each peer
+        (sentinel-padded with n_loc -> zero row).
+    rel_offsets: static per-relation offsets into the E_loc axis (uniform
+        across devices).
+    halo_width: P (per peer-pair request capacity).
+    """
+
+    src_idx: jnp.ndarray
+    dst_idx: jnp.ndarray
+    inv_deg: jnp.ndarray
+    serve: jnp.ndarray
+    rel_offsets: Tuple[int, ...]
+    n_loc: int
+    halo_width: int
+    num_nodes: int
+    num_relations: int
+    n_devices: int
+
+
+def partition_nodes(graph: RelGraph, n_devices: int,
+                    *, pad_multiple: int = 256) -> NodeShardedGraph:
+    """Host-side partitioner (runs once per graph/mesh shape)."""
+    n = n_devices
+    num_nodes = graph.num_nodes
+    r_count = graph.num_relations
+    n_loc = -(-num_nodes // n)
+
+    src_g, dst_g, rel_g = edge_arrays_from_graph(graph)
+    owner_dst = dst_g // n_loc
+    owner_src = src_g // n_loc
+
+    # Per-device, per-relation edge lists (dst-local sorted by (rel, dst)).
+    per_dev_edges = []
+    rel_counts = np.zeros((n, r_count), np.int64)
+    for d in range(n):
+        mask = owner_dst == d
+        s, t, r = src_g[mask], dst_g[mask], rel_g[mask]
+        order = np.lexsort((t, r))
+        per_dev_edges.append((s[order], t[order], r[order]))
+        rel_counts[d] = np.bincount(r, minlength=r_count)
+
+    caps = [
+        max(_round_up(int(rel_counts[:, r].max()), pad_multiple), pad_multiple)
+        for r in range(r_count)
+    ]
+    rel_offsets = [0]
+    for c in caps:
+        rel_offsets.append(rel_offsets[-1] + c)
+    e_loc = rel_offsets[-1]
+
+    # Halo requests: req[d][o] = sorted unique global ids d needs from o.
+    req = [[np.zeros(0, np.int64) for _ in range(n)] for _ in range(n)]
+    for d in range(n):
+        s = per_dev_edges[d][0]
+        remote = s[s // n_loc != d]
+        for o in range(n):
+            req[d][o] = np.unique(remote[remote // n_loc == o])
+    halo_p = max(max((len(req[d][o]) for o in range(n)), default=0)
+                 for d in range(n))
+    halo_p = max(_round_up(max(halo_p, 1), 8), 8)
+
+    sent_local = n_loc  # zero-row sentinel index in the extended table
+    src_idx = np.full((n, e_loc), sent_local, np.int32)
+    dst_idx = np.full((n, e_loc), n_loc, np.int32)
+    inv_deg = np.zeros((n, r_count, n_loc + 1), np.float32)
+    serve = np.full((n, n, halo_p), n_loc, np.int32)
+
+    for d in range(n):
+        s_all, t_all, r_all = per_dev_edges[d]
+        # Lookup tables: global id -> halo slot (per owner).
+        halo_pos = {}
+        for o in range(n):
+            for i, gid in enumerate(req[d][o]):
+                halo_pos[gid] = n_loc + 1 + o * halo_p + i
+        for r in range(r_count):
+            m = r_all == r
+            s, t = s_all[m], t_all[m]
+            c = len(s)
+            off = rel_offsets[r]
+            local = s // n_loc == d
+            idx = np.where(local, s - d * n_loc,
+                           np.array([halo_pos.get(g, sent_local)
+                                     for g in s]))
+            src_idx[d, off:off + c] = idx
+            dst_idx[d, off:off + c] = t - d * n_loc
+            deg = np.bincount(t - d * n_loc, minlength=n_loc + 1)
+            nz = deg > 0
+            inv_deg[d, r, nz] = 1.0 / deg[nz]
+            inv_deg[d, r, n_loc] = 0.0
+        for o in range(n):
+            ids = req[d][o]
+            serve[o, d, : len(ids)] = ids - o * n_loc
+
+    return NodeShardedGraph(
+        src_idx=jnp.asarray(src_idx),
+        dst_idx=jnp.asarray(dst_idx),
+        inv_deg=jnp.asarray(inv_deg),
+        serve=jnp.asarray(serve),
+        rel_offsets=tuple(rel_offsets),
+        n_loc=n_loc,
+        halo_width=halo_p,
+        num_nodes=num_nodes,
+        num_relations=r_count,
+        n_devices=n,
+    )
+
+
+def _halo_exchange(x_pad: jnp.ndarray, serve_me: jnp.ndarray,
+                   axis_name: str) -> jnp.ndarray:
+    """One all-to-all: returns [n*P, D] halo rows (peer-major)."""
+    send = jnp.take(x_pad, serve_me, axis=0)          # [n, P, D]
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
+                              tiled=True)
+    return recv.reshape(-1, x_pad.shape[1])
+
+
+def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
+                       sg: NodeShardedGraph, local: dict,
+                       axis_name: str) -> jnp.ndarray:
+    """One RGCN layer over this device's node shard (inside shard_map)."""
+    n_loc = sg.n_loc
+    w_rel = materialize_relation_weights(layer_params)
+    x_pad = jnp.concatenate(
+        [x_loc, jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
+    halo = _halo_exchange(x_pad, local["serve"], axis_name)
+    x_ext = jnp.concatenate([x_pad, halo], axis=0)
+
+    out = x_loc @ layer_params["w_root"] + layer_params["bias"][None, :]
+    din, dout = w_rel.shape[1], w_rel.shape[2]
+    aggregate_first = din <= dout
+    for r in range(sg.num_relations):
+        s, e = sg.rel_offsets[r], sg.rel_offsets[r + 1]
+        if e == s:
+            continue
+        inv = local["inv_deg"][r][:n_loc, None]
+        if aggregate_first:
+            msg = jnp.take(x_ext, local["src_idx"][s:e], axis=0)
+            agg = jax.ops.segment_sum(msg, local["dst_idx"][s:e],
+                                      num_segments=n_loc + 1,
+                                      indices_are_sorted=True)
+            out = out + (agg[:n_loc] * inv) @ w_rel[r]
+        else:
+            xw = x_ext @ w_rel[r]
+            msg = jnp.take(xw, local["src_idx"][s:e], axis=0)
+            agg = jax.ops.segment_sum(msg, local["dst_idx"][s:e],
+                                      num_segments=n_loc + 1,
+                                      indices_are_sorted=True)
+            out = out + agg[:n_loc] * inv
+    return out
+
+
+def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
+                     cfg: ModelConfig, axis_name: str, *, train=False,
+                     dropout_rng=None, my_index=None):
+    enc = params["encoder"]
+    # Local slice of the (replicated) embedding table.
+    start = my_index * sg.n_loc
+    emb_pad = jnp.concatenate(
+        [enc["node_emb"],
+         jnp.zeros((sg.n_loc * sg.n_devices - cfg.num_nodes,
+                    cfg.embedding_dim))], axis=0)
+    x = jax.lax.dynamic_slice_in_dim(emb_pad, start, sg.n_loc, axis=0)
+    x = node_sharded_layer(enc["conv1"], x, sg, local, axis_name)
+    x = jax.nn.relu(x)
+    if train and cfg.dropout > 0.0 and dropout_rng is not None:
+        keep = 1.0 - cfg.dropout
+        k = jax.random.fold_in(dropout_rng, my_index)
+        mask = jax.random.bernoulli(k, keep, x.shape)
+        x = jnp.where(mask, x / keep, 0.0)
+    x = node_sharded_layer(enc["conv2"], x, sg, local, axis_name)
+    return x
+
+
+def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
+                               model_cfg: ModelConfig, *,
+                               axis_name: str = "data"):
+    """Jitted full-graph encode returning replicated [N, hidden] output
+    (gathered across shards; for parity tests and small-N inference)."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
+             check_vma=False)
+    def _encode(params, local_arrays):
+        local = {k: v[0] for k, v in local_arrays.items()}
+        my = jax.lax.axis_index(axis_name)
+        x = _sharded_encoder(params, sg, local, model_cfg, axis_name,
+                             my_index=my)
+        return x[None]  # [1, n_loc, H] -> concatenated over devices
+
+    local_arrays = {"src_idx": sg.src_idx, "dst_idx": sg.dst_idx,
+                    "inv_deg": sg.inv_deg, "serve": sg.serve}
+
+    @jax.jit
+    def encode(params):
+        out = _encode(params, local_arrays)  # [n, n_loc, H]
+        return out.reshape(-1, out.shape[-1])[: sg.num_nodes]
+
+    return encode
+
+
+def build_node_sharded_train_step(
+    mesh: Mesh,
+    sg: NodeShardedGraph,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    axis_name: str = "data",
+):
+    """Jitted training update over the node-sharded graph.
+
+    ``batch`` is a replicated [B, 4] (head, tail, rel, mask) array. Candidate
+    endpoint embeddings are assembled with one psum of owner-masked local
+    rows (O(B*H) traffic), so no device ever materializes the full embedding
+    matrix.
+    """
+    n_dev = mesh.devices.size
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis_name), P(), P()),
+             out_specs=(P(), P(), (P(), P())),
+             check_vma=False)
+    def _step(params, opt_state, local_arrays, batch, key):
+        local = {k: v[0] for k, v in local_arrays.items()}
+        my = jax.lax.axis_index(axis_name)
+        k_neg, k_drop = jax.random.split(key)
+
+        def loss_sums(p):
+            h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
+            mask = batch[:, 3].astype(jnp.float32)
+            nh, nt, nr = sample_negatives(k_neg, h, t, r, sg.num_nodes,
+                                          train_cfg.num_neg_samples)
+            heads = jnp.concatenate([h, nh])
+            tails = jnp.concatenate([t, nt])
+            rels = jnp.concatenate([r, nr])
+            labels = jnp.concatenate([jnp.ones_like(h, jnp.float32),
+                                      jnp.zeros_like(nh, jnp.float32)])
+            weights = jnp.concatenate(
+                [mask, jnp.repeat(mask, train_cfg.num_neg_samples)])
+
+            x = _sharded_encoder(p, sg, local, model_cfg, axis_name,
+                                 train=True, dropout_rng=k_drop,
+                                 my_index=my)
+            x_pad = jnp.concatenate(
+                [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+
+            def fetch(ids):
+                owner = ids // sg.n_loc
+                loc = jnp.where(owner == my, ids - my * sg.n_loc, sg.n_loc)
+                rows = jnp.take(x_pad, loc, axis=0)
+                return jax.lax.psum(rows, axis_name)
+
+            he, te = fetch(heads), fetch(tails)
+            re = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)
+            scores = distmult_score(he, te, re)
+            per_ex = optax.sigmoid_binary_cross_entropy(scores, labels)
+            loss_sum = (per_ex * weights).sum()
+            preds = (jax.nn.sigmoid(scores) > 0.5).astype(jnp.float32)
+            correct = ((preds == labels).astype(jnp.float32) * weights).sum()
+            return loss_sum, (correct, weights.sum())
+
+        (loss_sum, (correct, count)), grads = jax.value_and_grad(
+            loss_sums, has_aux=True)(params)
+        # Every device computes the SAME loss (the batch is replicated and
+        # endpoint rows are psum-assembled), so decoder gradients come out
+        # full and identical on each device — no collective needed. Encoder
+        # gradients flow through the psum inside ``fetch``, whose VJP psums
+        # the (identical) cotangents: each device holds n x its shard-partial
+        # gradient. psum again to total across shards, then divide the double
+        # counting out. Normalize by the (identical) example count.
+        grads = {
+            "encoder": jax.tree_util.tree_map(
+                lambda g: g / n_dev,
+                jax.lax.psum(grads["encoder"], axis_name)),
+            "decoder": grads["decoder"],
+        }
+        grads = jax.tree_util.tree_map(
+            lambda g: g / jnp.maximum(count, 1.0), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (loss_sum / jnp.maximum(count, 1.0),
+                                   correct / jnp.maximum(count, 1.0))
+
+    local_arrays = {"src_idx": sg.src_idx, "dst_idx": sg.dst_idx,
+                    "inv_deg": sg.inv_deg, "serve": sg.serve}
+    sharded = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
+               for k, v in local_arrays.items()}
+
+    @jax.jit
+    def step(state: TrainState, batch, key):
+        params, opt_state, (loss, acc) = _step(
+            state.params, state.opt_state, sharded, batch, key)
+        return TrainState(params, opt_state, state.step + 1), (loss, acc)
+
+    return step

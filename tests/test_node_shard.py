@@ -1,0 +1,143 @@
+"""Node-sharded (halo-exchange) execution tests on the simulated 8-CPU mesh:
+encoder parity with single-device, train-step gradient parity with the
+single-device update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+from primekg_rgcn_tpu.data.graph import build_rel_graph
+from primekg_rgcn_tpu.models.rgcn import encoder_apply, init_params
+from primekg_rgcn_tpu.parallel.mesh import make_mesh
+from primekg_rgcn_tpu.parallel.node_shard import (
+    build_node_sharded_forward,
+    build_node_sharded_train_step,
+    partition_nodes,
+)
+from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multi-device platform")
+
+
+def _setup(seed=0, n=96, r=3, e=900):
+    rng = np.random.default_rng(seed)
+    graph = build_rel_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                            rng.integers(0, r, e), n, r,
+                            bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    return graph, cfg, params
+
+
+def test_partition_metadata():
+    graph, cfg, _ = _setup()
+    sg = partition_nodes(graph, 4)
+    assert sg.n_devices == 4
+    assert sg.n_loc == 24
+    # Serve lists reference valid local rows or the sentinel.
+    serve = np.asarray(sg.serve)
+    assert serve.min() >= 0 and serve.max() <= sg.n_loc
+    # All real edges preserved.
+    dst = np.asarray(sg.dst_idx)
+    assert int((dst < sg.n_loc).sum()) == graph.num_edges
+
+
+def test_node_sharded_encode_matches_single_device():
+    graph, cfg, params = _setup()
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg = partition_nodes(graph, n_dev)
+    encode = build_node_sharded_forward(mesh, sg, cfg)
+    out = encode(params)
+    ref = encoder_apply(params, graph, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_node_sharded_train_step_matches_single_device_grad():
+    """One update with dropout off must match the single-device train step's
+    parameter update up to float summation-order tolerance."""
+    from primekg_rgcn_tpu.models.rgcn import model_apply
+
+    graph, cfg, params = _setup(seed=3)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg = partition_nodes(graph, n_dev)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    # Plain SGD so the parameter delta is exactly -lr * grad: a clean
+    # gradient comparison (adam's rsqrt amplifies float noise on near-zero
+    # gradient elements).
+    opt = optax.sgd(tcfg.lr)
+
+    step = build_node_sharded_train_step(mesh, sg, cfg, tcfg, opt)
+
+    rng = np.random.default_rng(0)
+    b = 64
+    batch = np.stack([
+        rng.integers(0, cfg.num_nodes, b), rng.integers(0, cfg.num_nodes, b),
+        rng.integers(0, cfg.num_relations, b), np.ones(b, np.int64)
+    ], axis=1).astype(np.int32)
+    key = jax.random.PRNGKey(7)
+
+    p_sh = jax.tree_util.tree_map(jnp.copy, params)
+    state = TrainState(p_sh, opt.init(p_sh), jnp.zeros((), jnp.int32))
+    state, (loss_sh, acc_sh) = step(state, jnp.asarray(batch), key)
+
+    # Reproduce the same update single-device: same negative-sampling key.
+    k_neg, k_drop = jax.random.split(key)
+    from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+
+    h, t, r = (jnp.asarray(batch[:, 0]), jnp.asarray(batch[:, 1]),
+               jnp.asarray(batch[:, 2]))
+    nh, nt, nr = sample_negatives(k_neg, h, t, r, cfg.num_nodes, 1)
+    heads = jnp.concatenate([h, nh])
+    tails = jnp.concatenate([t, nt])
+    rels = jnp.concatenate([r, nr])
+    labels = jnp.concatenate([jnp.ones_like(h, jnp.float32),
+                              jnp.zeros_like(nh, jnp.float32)])
+
+    def loss_fn(p):
+        scores = model_apply(p, graph, heads, tails, rels, cfg, train=False)
+        return optax.sigmoid_binary_cross_entropy(scores, labels).mean()
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    p_ref = optax.apply_updates(params, updates)
+
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(state.params),
+                     jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_node_sharded_training_improves():
+    graph, cfg, params = _setup(seed=5)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg = partition_nodes(graph, n_dev)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    opt = make_optimizer(tcfg)
+    step = build_node_sharded_train_step(mesh, sg, cfg, tcfg, opt)
+
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    rng = np.random.default_rng(1)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for i in range(10):
+        key, k = jax.random.split(key)
+        idx = rng.integers(0, len(edges), 64)
+        batch = np.concatenate([edges[idx], np.ones((64, 1), np.int32)], 1)
+        state, (loss, acc) = step(state, jnp.asarray(batch), k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
