@@ -1,0 +1,238 @@
+"""Benchmark suite over the BASELINE.json configurations.
+
+``bench.py`` at the repo root prints the single north-star line; this module
+measures the wider matrix and writes a JSON report:
+
+1. primekg-default   — full-batch training step, PrimeKG statistics
+                       (the north-star: edges/s/chip of RGCN fwd+bwd)
+2. primekg-bases     — same with basis decomposition (num_bases=2)
+3. primekg-bf16      — bfloat16 compute
+4. primekg-xla       — XLA segment-sum instead of the Pallas kernel
+5. sampled-15-10     — neighbor-sampled mini-batch step (fanout 15/10)
+6. rmat-large        — full-graph step on an R-MAT graph (scaled to fit one
+                       chip; the 100M-edge multi-host config runs the same
+                       code over a pod mesh)
+7. eval-ranking      — all-tails ranking throughput (score_all_tails + rank)
+
+Usage: python -m primekg_rgcn_tpu.bench.suite [--out bench_report.json]
+       [--configs primekg-default sampled-15-10 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+BASELINE_EDGES_PER_S = 1_677_772 / (4.5 * 3600 / 100)  # RTX-1070 anchor
+
+
+def _timed_steps(step_fn, n_steps: int, warmup: int = 3):
+    import jax
+
+    out = None
+    for i in range(warmup):
+        out = step_fn(i)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        out = step_fn(i)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_steps
+
+
+def _full_batch_config(num_bases=None, compute_dtype="float32", impl="auto",
+                       graph_override=None):
+    """Returns (step_fn, batch_size) for the full-graph training step."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.data.synthetic import bidirect, primekg_like
+    from primekg_rgcn_tpu.models.rgcn import init_params
+    from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+    from primekg_rgcn_tpu.train.loop import TrainState, _batch_loss, make_optimizer
+
+    if graph_override is None:
+        raw = primekg_like(seed=0, scale=1.0)
+        src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
+        n, r = raw["num_nodes"], 3
+    else:
+        src, dst, rel, n, r = graph_override
+    graph = build_rel_graph(src, dst, rel, n, r)
+
+    model_cfg = ModelConfig(num_nodes=n, num_relations=r,
+                            num_bases=num_bases, compute_dtype=compute_dtype)
+    train_cfg = TrainConfig(batch_size=1024)
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    opt = make_optimizer(train_cfg)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    edges_pad = jnp.asarray(np.concatenate([edges, np.zeros((1, 3), np.int32)]))
+    layer_fn = functools.partial(rgcn_layer_segment,
+                                 impl="xla" if impl == "xla" else "auto")
+    grad_fn = jax.value_and_grad(
+        lambda p, bi, k: _batch_loss(p, graph, edges_pad, bi, k, model_cfg,
+                                     train_cfg, train=True, layer_fn=layer_fn),
+        has_aux=True)
+
+    @jax.jit
+    def train_step(state, batch_idx, key):
+        (loss, _), grads = grad_fn(state.params, batch_idx, key)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates),
+                          opt_state, state.step + 1), loss
+
+    rng = np.random.default_rng(0)
+    b = train_cfg.batch_size
+    key_holder = {"key": jax.random.PRNGKey(0), "state": state}
+
+    def step(i):
+        key_holder["key"], k = jax.random.split(key_holder["key"])
+        bi = jnp.asarray(rng.integers(0, len(edges), b).astype(np.int32))
+        key_holder["state"], loss = train_step(key_holder["state"], bi, k)
+        return loss
+
+    return step, b
+
+
+def bench_full_batch(**kw) -> Dict:
+    step, b = _full_batch_config(**kw)
+    dt = _timed_steps(step, 30)
+    return {"step_ms": round(dt * 1e3, 2),
+            "edges_per_s": round(b / dt, 1),
+            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2)}
+
+
+def bench_sampled(fanouts=(15, 10)) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.data.sampling import build_csr_cache
+    from primekg_rgcn_tpu.data.synthetic import bidirect, primekg_like
+    from primekg_rgcn_tpu.models.rgcn import init_params
+    from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
+
+    raw = primekg_like(seed=0, scale=1.0)
+    src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
+    n = raw["num_nodes"]
+    graph = build_rel_graph(src, dst, rel, n, 3)
+    csr = build_csr_cache(graph)
+    cfg = ModelConfig(num_nodes=n, num_relations=3)
+    tcfg = TrainConfig(batch_size=1024)
+    opt = make_optimizer(tcfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    step_fn = build_sampled_train_step(csr, cfg, tcfg, opt, fanouts=fanouts)
+
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    rng = np.random.default_rng(0)
+    holder = {"state": TrainState(params, opt.init(params),
+                                  jnp.zeros((), jnp.int32)),
+              "key": jax.random.PRNGKey(0)}
+
+    def step(i):
+        holder["key"], k = jax.random.split(holder["key"])
+        idx = rng.integers(0, len(edges), tcfg.batch_size)
+        holder["state"], (loss, _) = step_fn(holder["state"],
+                                             jnp.asarray(edges[idx]), k)
+        return loss
+
+    dt = _timed_steps(step, 30)
+    return {"step_ms": round(dt * 1e3, 2),
+            "edges_per_s": round(tcfg.batch_size / dt, 1),
+            "vs_baseline": round(
+                tcfg.batch_size / dt / BASELINE_EDGES_PER_S, 2)}
+
+
+def bench_rmat(num_nodes=500_000, num_edges=5_000_000, num_relations=10) -> Dict:
+    from primekg_rgcn_tpu.data.synthetic import rmat
+    from primekg_rgcn_tpu import native
+
+    g = native.rmat_native(num_nodes, num_edges, num_relations, seed=0) \
+        or rmat(num_nodes, num_edges, num_relations, seed=0)
+    step, b = _full_batch_config(
+        graph_override=(g["src"], g["dst"], g["rel"], num_nodes,
+                        num_relations))
+    dt = _timed_steps(step, 10)
+    return {"step_ms": round(dt * 1e3, 2),
+            "nodes": num_nodes, "edges": num_edges,
+            "graph_edges_per_s_fwd_bwd": round(num_edges / dt, 1)}
+
+
+def bench_eval_ranking() -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from primekg_rgcn_tpu.evaluate.metrics import ranks_of_true_tails
+    from primekg_rgcn_tpu.ops.distmult import distmult_score_all_tails
+
+    n, d, b = 30926, 128, 1024
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    heads = jnp.asarray(rng.integers(0, n, b))
+    tails = jnp.asarray(rng.integers(0, n, b))
+
+    @jax.jit
+    def rank(emb, rel, heads, tails):
+        scores = distmult_score_all_tails(jnp.take(emb, heads, axis=0), rel,
+                                          emb)
+        return ranks_of_true_tails(scores, tails)
+
+    def step(i):
+        return rank(emb, rel, heads, tails)
+
+    dt = _timed_steps(step, 30)
+    return {"batch_ms": round(dt * 1e3, 3),
+            "triples_per_s": round(b / dt, 1),
+            "entities": n}
+
+
+CONFIGS: Dict[str, Callable[[], Dict]] = {
+    "primekg-default": lambda: bench_full_batch(),
+    "primekg-bases": lambda: bench_full_batch(num_bases=2),
+    "primekg-bf16": lambda: bench_full_batch(compute_dtype="bfloat16"),
+    "primekg-xla": lambda: bench_full_batch(impl="xla"),
+    "sampled-15-10": lambda: bench_sampled((15, 10)),
+    "rmat-large": lambda: bench_rmat(),
+    "eval-ranking": lambda: bench_eval_ranking(),
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Benchmark suite")
+    p.add_argument("--out", default="bench_report.json")
+    p.add_argument("--configs", nargs="+", default=list(CONFIGS))
+    args = p.parse_args(argv)
+
+    import jax
+
+    report = {"device": str(jax.devices()[0]),
+              "baseline_edges_per_s": round(BASELINE_EDGES_PER_S, 1),
+              "results": {}}
+    for name in args.configs:
+        print(f"== {name} ==", flush=True)
+        try:
+            report["results"][name] = CONFIGS[name]()
+        except Exception as e:  # keep the suite running
+            report["results"][name] = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(report["results"][name]), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true",
                    help="train on a PrimeKG-statistics synthetic graph")
     p.add_argument("--synthetic_scale", type=float, default=1.0)
+    p.add_argument("--steps_per_scan", type=int, default=0,
+                   help="split each epoch into jitted scan segments of this "
+                        "many optimizer updates (0 = whole epoch fused)")
     return p.parse_args(argv)
 
 
@@ -126,7 +129,7 @@ def main(argv=None):
         num_neg_samples=args.num_neg_samples, grad_clip=args.grad_clip,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         save_every=args.save_every, early_stopping=args.early_stopping,
-        seed=args.seed, impl=args.impl)
+        seed=args.seed, impl=args.impl, steps_per_scan=args.steps_per_scan)
 
     import functools
     from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment

@@ -133,10 +133,16 @@ def build_train_epoch(
     optimizer: optax.GradientTransformation,
     layer_fn,
 ):
-    """Compile one full training epoch as a device-resident scan.
+    """Compile one full training epoch as device-resident scans.
 
     ``edges`` is the [E, 3] (head, tail, rel) int32 array of real train edges.
     Returns ``epoch_fn(state, key) -> (state, (loss, acc))``.
+
+    ``train_cfg.steps_per_scan`` > 0 splits the epoch into several jitted
+    scan segments (at most two compiled variants: full-size and remainder).
+    The default (0) fuses the whole epoch into one device execution — fastest,
+    but very long single executions can exceed runtime watchdogs on some
+    hosted TPU frontends, where a segment size of a few hundred is safer.
     """
     num_edges = int(edges.shape[0])
     b = train_cfg.batch_size
@@ -180,7 +186,7 @@ def build_train_epoch(
         params = optax.apply_updates(state.params, updates)
         return (TrainState(params, opt_state, state.step + 1), stats), None
 
-    def epoch_fn(state: TrainState, key: jax.Array):
+    def _prep(key):
         k_perm, k_steps = jax.random.split(key)
         perm = jax.random.permutation(k_perm, num_edges)
         perm = jnp.concatenate([
@@ -190,14 +196,48 @@ def build_train_epoch(
         batch_indices = perm.reshape(n_updates, accum, b)
         keys = jax.random.split(k_steps, n_updates * accum).reshape(
             n_updates, accum, -1)
+        return batch_indices, keys
 
-        stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    def _segment(state, stats, batch_indices, keys):
         (state, stats), _ = jax.lax.scan(
-            update_step, (state, stats0), (batch_indices, keys))
+            update_step, (state, stats), (batch_indices, keys))
+        return state, stats
+
+    stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    seg = int(train_cfg.steps_per_scan)
+
+    if seg <= 0 or seg >= n_updates:
+        def epoch_fn(state: TrainState, key: jax.Array):
+            batch_indices, keys = _prep(key)
+            state, stats = _segment(state, stats0, batch_indices, keys)
+            loss_sum, correct, count = stats
+            return state, (loss_sum / count, correct / count)
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
+
+    # Segmented epoch: host loop over at most two compiled scan sizes.
+    n_full = n_updates // seg
+    rem = n_updates - n_full * seg
+    prep_jit = jax.jit(_prep)
+    seg_jit = jax.jit(_segment, donate_argnums=(0, 1))
+
+    def epoch_fn(state: TrainState, key: jax.Array):
+        batch_indices, keys = prep_jit(key)
+        stats = stats0
+        for i in range(n_full):
+            s = i * seg
+            state, stats = seg_jit(state, stats,
+                                   jax.lax.slice_in_dim(batch_indices, s, s + seg),
+                                   jax.lax.slice_in_dim(keys, s, s + seg))
+        if rem:
+            s = n_full * seg
+            state, stats = seg_jit(state, stats,
+                                   jax.lax.slice_in_dim(batch_indices, s, s + rem),
+                                   jax.lax.slice_in_dim(keys, s, s + rem))
         loss_sum, correct, count = stats
         return state, (loss_sum / count, correct / count)
 
-    return jax.jit(epoch_fn, donate_argnums=(0,))
+    return epoch_fn
 
 
 def build_eval_epoch(
@@ -298,6 +338,11 @@ class Trainer:
             "train_accs": [], "val_accs": [],
         }
         self.epoch = 0
+        self.num_train_edges = int(train_edges.shape[0])
+
+        from primekg_rgcn_tpu.utils.telemetry import MetricsLogger
+
+        self.metrics = MetricsLogger(self.output_dir / "metrics.jsonl")
 
     # -- checkpoint plumbing -------------------------------------------------
     def _checkpoint_payload(self) -> Dict[str, Any]:
@@ -354,11 +399,21 @@ class Trainer:
             self.history["train_accs"].append(tr_acc)
             self.history["val_accs"].append(val_acc)
 
+            edges_per_s = self.num_train_edges / max(epoch_time, 1e-9)
             logger.info(
                 "Epoch %d/%d | Time: %.2fs | Train Loss: %.4f | Train Acc: "
-                "%.4f | Val Loss: %.4f | Val Acc: %.4f",
+                "%.4f | Val Loss: %.4f | Val Acc: %.4f | %.0f edges/s",
                 epoch, cfg.epochs, epoch_time, tr_loss, tr_acc, val_loss,
-                val_acc)
+                val_acc, edges_per_s)
+
+            from primekg_rgcn_tpu.utils.telemetry import device_memory_stats
+
+            self.metrics.log(
+                "epoch", epoch=epoch, train_loss=tr_loss, train_acc=tr_acc,
+                val_loss=val_loss, val_acc=val_acc,
+                epoch_time_s=round(epoch_time, 3),
+                edges_per_s=round(edges_per_s, 1),
+                **{f"mem_{k}": v for k, v in device_memory_stats().items()})
 
             is_best = val_loss < self.best_val_loss
             if is_best:

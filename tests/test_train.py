@@ -153,3 +153,29 @@ def test_early_stopping_triggers(tmp_path):
                       str(tmp_path))
     result = trainer.train()
     assert len(result["history"]["val_losses"]) < 20
+
+
+def test_segmented_epoch_matches_fused():
+    """steps_per_scan segmentation must not change the training trajectory."""
+    graph, edges, model_cfg, _ = _mk()
+    cfg_fused = TrainConfig(batch_size=100, lr=1e-2, steps_per_scan=0, seed=3)
+    cfg_seg = TrainConfig(batch_size=100, lr=1e-2, steps_per_scan=2, seed=3)
+    opt = make_optimizer(cfg_fused)
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    p2 = jax.tree_util.tree_map(jnp.copy, params)
+
+    f1 = build_train_epoch(graph, edges, model_cfg, cfg_fused, opt,
+                           rgcn_layer_segment)
+    f2 = build_train_epoch(graph, edges, model_cfg, cfg_seg, opt,
+                           rgcn_layer_segment)
+    s1 = TrainState(p1, opt.init(p1), jnp.zeros((), jnp.int32))
+    s2 = TrainState(p2, opt.init(p2), jnp.zeros((), jnp.int32))
+    s1, (l1, a1) = f1(s1, jax.random.PRNGKey(9))
+    s2, (l2, a2) = f2(s2, jax.random.PRNGKey(9))
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    assert int(s1.step) == int(s2.step)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
