@@ -216,3 +216,62 @@ def encoder_apply_sampled(
                 mask = jax.random.bernoulli(k, keep, x.shape)
                 x = jnp.where(mask, x / keep, 0.0)
     return x
+
+
+# ============================================================================
+# Inline smoke tests, runnable as `python -m primekg_rgcn_tpu.models.rgcn`
+# (parity with the reference's self-test entry point, rgcn.py:422-643; the
+# real test suite lives in tests/).
+# ============================================================================
+
+def _smoke():  # pragma: no cover - exercised manually
+    import numpy as np
+
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+
+    print("=" * 70)
+    print("RGCN model smoke tests")
+    print("=" * 70)
+
+    num_nodes, num_relations, num_edges, batch = 100, 3, 500, 32
+    rng = np.random.default_rng(0)
+    graph = build_rel_graph(rng.integers(0, num_nodes, num_edges),
+                            rng.integers(0, num_nodes, num_edges),
+                            rng.integers(0, num_relations, num_edges),
+                            num_nodes, num_relations, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=num_nodes, num_relations=num_relations)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    emb = encoder_apply(params, graph, cfg)
+    assert emb.shape == (num_nodes, cfg.hidden_dim)
+    print(f"  encoder: {emb.shape}, range [{float(emb.min()):.3f}, "
+          f"{float(emb.max()):.3f}]  OK")
+
+    heads = jnp.asarray(rng.integers(0, num_nodes, batch))
+    tails = jnp.asarray(rng.integers(0, num_nodes, batch))
+    rels = jnp.asarray(rng.integers(0, num_relations, batch))
+    scores = model_apply(params, graph, heads, tails, rels, cfg,
+                         train=True, dropout_rng=jax.random.PRNGKey(1))
+    assert scores.shape == (batch,)
+    print(f"  train forward: {scores.shape}  OK")
+
+    pred = predict(params, graph, heads, tails, rels, cfg)
+    all_scores = predict_all_tails(params, graph, heads, rels, cfg)
+    assert pred.shape == (batch,)
+    assert all_scores.shape == (batch, num_nodes)
+    print(f"  predict: {pred.shape}, all-tails: {all_scores.shape}  OK")
+
+    n_params = count_params(params)
+    print(f"  parameters: {n_params:,}")
+    full = count_params(init_params(jax.random.PRNGKey(0),
+                                    ModelConfig(num_nodes=30926,
+                                                num_relations=3)))
+    assert full == 2_078_208, full
+    print(f"  default PrimeKG config parameters: {full:,} "
+          "(matches reference)  OK")
+    print("=" * 70)
+    print("All smoke tests passed")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _smoke()

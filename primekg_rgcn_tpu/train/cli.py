@@ -70,19 +70,40 @@ def _load_graphs(args):
         raw = primekg_like(seed=args.seed, scale=args.synthetic_scale)
         src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
         n, r = raw["num_nodes"], raw["num_relations"]
-        # Hold out 15% of drug-gene edges as a validation proxy.
+        # Hold out drug-gene edges as val/test, mirroring the reference's
+        # split-target-relation-only protocol (~15% each).
         dg = np.flatnonzero(rel == 0)
         rng = np.random.default_rng(args.seed)
-        val_idx = rng.choice(dg, size=max(len(dg) // 7, 1), replace=False)
+        heldout = rng.choice(dg, size=max(2 * (len(dg) // 7), 2),
+                             replace=False)
+        val_idx = heldout[: len(heldout) // 2]
+        test_idx = heldout[len(heldout) // 2:]
         mask = np.ones(len(src), bool)
-        mask[val_idx] = False
+        mask[heldout] = False
         train_edges = np.stack([src[mask], dst[mask], rel[mask]], 1)
         val_edges = np.stack([src[val_idx], dst[val_idx], rel[val_idx]], 1)
+        test_edges = np.stack([src[test_idx], dst[test_idx], rel[test_idx]], 1)
         train_graph = build_rel_graph(train_edges[:, 0], train_edges[:, 1],
                                       train_edges[:, 2], n, r)
         full_graph = build_rel_graph(src, dst, rel, n, r)
         log.info("Synthetic graph: %d nodes, %d train edges", n,
                  len(train_edges))
+
+        # Persist reference-format splits so evaluate/analyze CLIs work on
+        # the synthetic run (the reference repo ships no train artifacts).
+        out = Path(args.output_dir) / "synthetic_data"
+        out.mkdir(parents=True, exist_ok=True)
+
+        def _save(name, e):
+            artifacts.save_split_npz(out / f"{name}.npz", {
+                "edge_index": e[:, :2].T, "edge_type": e[:, 2],
+                "num_nodes": n, "num_relations": r})
+
+        _save("train_data", train_edges)
+        _save("val_data", val_edges)
+        _save("test_data", test_edges)
+        _save("full_graph", np.stack([src, dst, rel], 1))
+        log.info("Saved synthetic splits to %s", out)
         return train_graph, full_graph, train_edges, val_edges, n, r
 
     ds = artifacts.load_dataset(args.data_dir)

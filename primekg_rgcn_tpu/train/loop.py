@@ -205,6 +205,14 @@ def build_train_epoch(
 
     stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
     seg = int(train_cfg.steps_per_scan)
+    # Buffer donation is unreliable on the hosted axon TPU frontend
+    # (InvalidArgument on the epoch after a donated execution); detect it
+    # via the PJRT platform_version (the backend itself reports "tpu").
+    try:
+        _pv = getattr(jax.devices()[0].client, "platform_version", "")
+    except Exception:
+        _pv = ""
+    donate = "axon" not in str(_pv).lower()
 
     if seg <= 0 or seg >= n_updates:
         def epoch_fn(state: TrainState, key: jax.Array):
@@ -213,13 +221,13 @@ def build_train_epoch(
             loss_sum, correct, count = stats
             return state, (loss_sum / count, correct / count)
 
-        return jax.jit(epoch_fn, donate_argnums=(0,))
+        return jax.jit(epoch_fn, donate_argnums=(0,) if donate else ())
 
     # Segmented epoch: host loop over at most two compiled scan sizes.
     n_full = n_updates // seg
     rem = n_updates - n_full * seg
     prep_jit = jax.jit(_prep)
-    seg_jit = jax.jit(_segment, donate_argnums=(0, 1))
+    seg_jit = jax.jit(_segment, donate_argnums=(0, 1) if donate else ())
 
     def epoch_fn(state: TrainState, key: jax.Array):
         batch_indices, keys = prep_jit(key)
