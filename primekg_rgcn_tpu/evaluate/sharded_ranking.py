@@ -1,0 +1,72 @@
+"""Entity-sharded all-tails ranking.
+
+At PrimeKG scale the ranking matmul is [B,128] x [128, 31K] — trivial. At
+the 10M-node configs the score matrix would be B x 10M; here the entity
+axis is sharded across the mesh: each device scores its slice of the
+embedding table, the true tail's score is recovered with one owner-masked
+psum, and the global rank is one more psum of local greater-than counts.
+Traffic per batch: O(B) scalars, independent of N.
+
+Matches the single-device raw-rank semantics exactly
+(evaluate/metrics.py::ranks_of_true_tails; reference:
+src/evaluate.py:264-276).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from primekg_rgcn_tpu.ops.distmult import distmult_score_all_tails
+
+
+def build_sharded_ranker(mesh: Mesh, node_emb: jnp.ndarray,
+                         rel_emb: jnp.ndarray, *, axis_name: str = "data"):
+    """Returns ``rank(heads, rels, true_tails) -> int32[B]`` (1-indexed raw
+    ranks), with the N x D entity table sharded over the mesh axis.
+
+    ``node_emb`` is the [N, D] encoder output (host or device array).
+    """
+    n_dev = mesh.devices.size
+    n, d = node_emb.shape
+    n_loc = -(-n // n_dev)
+    pad = n_dev * n_loc - n
+    emb_pad = jnp.concatenate(
+        [jnp.asarray(node_emb),
+         jnp.full((pad, d), -jnp.inf, node_emb.dtype)], axis=0) \
+        if pad else jnp.asarray(node_emb)
+    # Padding rows scored -inf never outrank anything.
+    emb_dm = emb_pad.reshape(n_dev, n_loc, d)
+    emb_sh = jax.device_put(emb_dm, NamedSharding(mesh, P(axis_name)))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis_name), P(), P(), P(), P()),
+             out_specs=P(), check_vma=False)
+    def _rank(emb_local, head_emb, rel_vecs, true_tails, _dummy):
+        local = emb_local[0]                      # [n_loc, D]
+        my = jax.lax.axis_index(axis_name)
+        # Scores of this device's entity slice for every query.
+        scores_local = distmult_score_all_tails(head_emb, rel_vecs, local)
+        # True tail's score, recovered from its owner.
+        owner = true_tails // n_loc
+        loc_idx = jnp.where(owner == my, true_tails - my * n_loc, 0)
+        picked = scores_local[jnp.arange(true_tails.shape[0]), loc_idx]
+        true_scores = jax.lax.psum(
+            jnp.where(owner == my, picked, 0.0), axis_name)
+        better = jnp.sum(
+            (scores_local > true_scores[:, None]).astype(jnp.int32), axis=1)
+        return 1 + jax.lax.psum(better, axis_name)
+
+    @jax.jit
+    def rank(heads, rels, true_tails):
+        head_emb = jnp.take(jnp.asarray(node_emb), heads, axis=0)
+        rel_vecs = jnp.take(jnp.asarray(rel_emb), rels, axis=0)
+        return _rank(emb_sh, head_emb, rel_vecs, true_tails.astype(jnp.int32),
+                     jnp.zeros(()))
+
+    return rank
