@@ -21,7 +21,7 @@ from __future__ import annotations
 import logging
 from collections import Counter
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

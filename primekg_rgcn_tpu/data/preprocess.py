@@ -30,8 +30,6 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 import pandas as pd
 
-from primekg_rgcn_tpu.config import DataConfig
-
 logger = logging.getLogger(__name__)
 
 TARGET_NODE_TYPES = {"drug", "gene/protein", "disease"}

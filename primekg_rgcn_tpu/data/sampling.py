@@ -25,7 +25,6 @@ work instead of O(E) — which is what makes 100M-edge graphs trainable.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import List, NamedTuple, Sequence, Tuple
 
 import jax

@@ -14,7 +14,7 @@ BASELINE.json (10M nodes / 100M edges / 50 relations).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

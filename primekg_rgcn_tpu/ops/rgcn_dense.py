@@ -17,7 +17,7 @@ Only suitable for small graphs (materializes R dense [N, N] adjacencies).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ Scaling design (greenfield vs. the single-device reference; SURVEY.md §2.4):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ all_to_all is all_to_all) and the local gathers automatically.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

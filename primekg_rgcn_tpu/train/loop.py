@@ -21,7 +21,6 @@ Re-designs the reference trainer (reference: src/train.py:100-547) TPU-first:
 
 from __future__ import annotations
 
-import json
 import logging
 import time
 from pathlib import Path
