@@ -172,12 +172,15 @@ def block_aggregate(layer_params, x_in: jnp.ndarray, block: SampledBlock,
     w_rel = materialize_fn(layer_params)   # [R, Din, Dout]
     w_root = layer_params["w_root"]
     bias = layer_params["bias"]
-    m = block.m_out
+    r_count, m, fanout = block.src_local.shape
     out = x_in[:m] @ w_root + bias[None, :]
-    r_count = w_rel.shape[0]
     for r in range(r_count):
-        nbr = jnp.take(x_in, block.src_local[r].reshape(-1), axis=0)
-        nbr = nbr.reshape(m, -1, x_in.shape[1])           # [M, f, Din]
+        # The input-frontier layout is [frontier (m), picks_r0 (m*f), ...],
+        # so relation r's neighbor rows are a CONTIGUOUS slice — no gather
+        # (and, crucially, no unsorted scatter-add in the backward).
+        base = m + r * m * fanout
+        nbr = jax.lax.slice_in_dim(x_in, base, base + m * fanout, axis=0)
+        nbr = nbr.reshape(m, fanout, x_in.shape[1])       # [M, f, Din]
         mean = nbr.sum(axis=1) * block.inv_cnt[r][:, None]
         out = out + mean @ w_rel[r]
     return out

@@ -90,12 +90,22 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
     else:
         use_pallas = False
 
+    def _sparse_bucket(seg_host) -> bool:
+        """True when runs are so short (average in-degree ~1) that run
+        compaction degenerates to per-edge work; XLA's scatter is no worse
+        there and avoids the kernel's per-run store loop."""
+        from primekg_rgcn_tpu.ops.pallas.segment_sum import SEG_K
+
+        chunks = seg_host.reshape(-1, SEG_K)
+        runs = 1 + (np.diff(chunks, axis=1) != 0).sum(axis=1)
+        return int(runs.max()) > 256
+
     def _run(x, take_ids, seg_ids, seg_host, seg_scale):
         """Gather rows (optionally scaled per edge) then segment-sum. The
         Pallas path pads the *node* table (N rows) to a lane-aligned width
         before the gather so the edge message stream is written exactly once
         at its final width."""
-        if use_pallas:
+        if use_pallas and not _sparse_bucket(seg_host):
             d_dim = x.shape[1]
             pad = (-d_dim) % 128
             if pad:
@@ -117,14 +127,17 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
         return _run(x, src, dst, dst_host, scale)
 
     def fwd(x):
-        return _run(x, src, dst, dst_host, scale), None
+        # Residual: a zero-size witness of the primal dtype so the cotangent
+        # can be cast back (the segment-sum always accumulates in f32).
+        return (_run(x, src, dst, dst_host, scale),
+                jnp.zeros((0,), x.dtype))
 
-    def bwd(_, g):
+    def bwd(res, g):
         # d/dx: route each edge's output-row cotangent back to its source row.
         # Same op on the transpose graph -> sorted segment-sum, not a scatter.
         # Per-edge scales are constants w.r.t. x, so the cotangent carries the
         # same scale in transpose order.
-        return (_run(g, t_dst, t_src, tsrc_host, t_scale),)
+        return (_run(g, t_dst, t_src, tsrc_host, t_scale).astype(res.dtype),)
 
     f.defvjp(fwd, bwd)
     return f
