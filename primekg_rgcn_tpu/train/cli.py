@@ -56,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_scan", type=int, default=0,
                    help="split each epoch into jitted scan segments of this "
                         "many optimizer updates (0 = whole epoch fused)")
+    p.add_argument("--sample_fanouts", type=int, nargs="+", default=None,
+                   help="enable neighbor-sampled mini-batch training with "
+                        "these per-relation fanouts, outermost layer first "
+                        "(e.g. --sample_fanouts 15 10)")
     return p.parse_args(argv)
 
 
@@ -157,6 +161,17 @@ def main(argv=None):
 
     layer_fn = functools.partial(rgcn_layer_segment,
                                  impl="xla" if args.impl == "xla" else "auto")
+
+    if args.sample_fanouts:
+        from primekg_rgcn_tpu.train.sampled import SampledTrainer
+
+        trainer = SampledTrainer(model_cfg, train_cfg, train_graph,
+                                 full_graph, train_edges, val_edges,
+                                 args.output_dir,
+                                 fanouts=tuple(args.sample_fanouts))
+        trainer.train()
+        logging.getLogger("train").info("Training completed successfully!")
+        return
 
     trainer = Trainer(model_cfg, train_cfg, train_graph, full_graph,
                       train_edges, val_edges, args.output_dir,

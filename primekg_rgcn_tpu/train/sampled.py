@@ -70,3 +70,100 @@ def build_sampled_train_step(
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
 
     return step
+
+
+class SampledTrainer:
+    """Host-driven mini-batch trainer over sampled neighborhoods.
+
+    For graphs where the full-batch epoch scan is impractical. Reuses the
+    Trainer's checkpoint/metrics conventions; validation still scores
+    against the full graph (cheap: one encode per epoch).
+    """
+
+    def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
+                 val_edges, output_dir, *, fanouts=(15, 10), mode="uniform"):
+        import numpy as np
+        from pathlib import Path
+
+        from primekg_rgcn_tpu.data.sampling import build_csr_cache
+        from primekg_rgcn_tpu.models.rgcn import init_params
+        from primekg_rgcn_tpu.train.loop import (
+            build_eval_epoch,
+            make_optimizer,
+        )
+        from primekg_rgcn_tpu.utils.telemetry import MetricsLogger
+
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.train_edges = np.asarray(train_edges, dtype=np.int32)
+        self.output_dir = Path(output_dir)
+        self.model_dir = self.output_dir / "models"
+        self.model_dir.mkdir(parents=True, exist_ok=True)
+        self.metrics = MetricsLogger(self.output_dir / "metrics.jsonl")
+
+        self.optimizer = make_optimizer(train_cfg)
+        key = jax.random.PRNGKey(train_cfg.seed)
+        self.key, k_init = jax.random.split(key)
+        params = init_params(k_init, model_cfg)
+        self.state = TrainState(params, self.optimizer.init(params),
+                                jnp.zeros((), jnp.int32))
+        csr = build_csr_cache(graph)
+        self.step_fn = build_sampled_train_step(
+            csr, model_cfg, train_cfg, self.optimizer, fanouts=fanouts,
+            mode=mode)
+        from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+
+        self.eval_fn = build_eval_epoch(full_graph, np.asarray(val_edges),
+                                        model_cfg, train_cfg,
+                                        layer_fn=rgcn_layer_segment)
+        self.best_val_loss = float("inf")
+        self.history = {"train_losses": [], "val_losses": []}
+
+    def train(self):
+        import logging
+        import time
+
+        import numpy as np
+
+        log = logging.getLogger(__name__)
+        cfg = self.train_cfg
+        b = cfg.batch_size
+        n = len(self.train_edges)
+        steps = -(-n // b)
+        rng = np.random.default_rng(cfg.seed)
+        for epoch in range(1, cfg.epochs + 1):
+            t0 = time.time()
+            perm = rng.permutation(n)
+            losses = []
+            for s in range(steps):
+                idx = perm[s * b:(s + 1) * b]
+                if len(idx) < b:  # pad by wrapping (sampled mode tolerates)
+                    idx = np.concatenate([idx, perm[: b - len(idx)]])
+                self.key, k = jax.random.split(self.key)
+                self.state, (loss, acc) = self.step_fn(
+                    self.state, jnp.asarray(self.train_edges[idx]), k)
+                losses.append(loss)
+            tr_loss = float(jnp.mean(jnp.stack(losses)))
+            self.key, k_val = jax.random.split(self.key)
+            val_loss, val_acc = self.eval_fn(self.state.params, k_val)
+            dt = time.time() - t0
+            log.info("Epoch %d/%d | %.1fs | sampled train loss %.4f | "
+                     "val loss %.4f acc %.4f", epoch, cfg.epochs, dt,
+                     tr_loss, float(val_loss), float(val_acc))
+            self.metrics.log("epoch", epoch=epoch, train_loss=tr_loss,
+                             val_loss=float(val_loss),
+                             val_acc=float(val_acc), epoch_time_s=round(dt, 2))
+            self.history["train_losses"].append(tr_loss)
+            self.history["val_losses"].append(float(val_loss))
+            from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
+
+            payload = {"epoch": epoch, "state": self.state,
+                       "best_val_loss": self.best_val_loss,
+                       "best_val_acc": 0.0, "history": self.history,
+                       "model_config": self.model_cfg.to_dict(),
+                       "train_config": self.train_cfg.to_dict()}
+            if float(val_loss) < self.best_val_loss:
+                self.best_val_loss = float(val_loss)
+                ckpt_lib.save(self.model_dir / "best_model", payload)
+            ckpt_lib.save(self.model_dir / "final_model", payload)
+        return self.history

@@ -108,3 +108,17 @@ def test_synthetic_training_cli(tmp_path):
                 "--batch_size", "512", "--embedding_dim", "8",
                 "--hidden_dim", "8"])
     assert (out / "models" / "final_model.msgpack").exists()
+
+
+def test_sampled_training_cli(tiny_dataset):
+    from primekg_rgcn_tpu.train.cli import main as train_main
+    from primekg_rgcn_tpu.train import checkpoint as ckpt
+
+    out = tiny_dataset / "output_sampled"
+    train_main(["--data_dir", str(tiny_dataset / "processed"),
+                "--output_dir", str(out), "--epochs", "2",
+                "--batch_size", "128", "--embedding_dim", "8",
+                "--hidden_dim", "8", "--sample_fanouts", "4", "3"])
+    payload = ckpt.load(out / "models" / "final_model")
+    assert payload["epoch"] == 2
+    assert len(payload["history"]["train_losses"]) == 2
