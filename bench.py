@@ -70,19 +70,21 @@ def main():
         return jnp.asarray(
             rng.integers(0, num_train_edges, b).astype(np.int32))
 
-    # Warmup / compile.
+    # Warmup / compile. Synchronize by FETCHING a value: on some hosted
+    # PJRT frontends block_until_ready returns at enqueue time, which would
+    # under-report; a host transfer cannot complete before execution does.
     key = jax.random.PRNGKey(0)
     for i in range(3):
         key, k = jax.random.split(key)
         state, loss = train_step(state, batch(i), k)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 50
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, k = jax.random.split(key)
         state, loss = train_step(state, batch(i), k)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     steps_per_s = n_steps / dt

@@ -30,17 +30,24 @@ import numpy as np
 BASELINE_EDGES_PER_S = 1_677_772 / (4.5 * 3600 / 100)  # RTX-1070 anchor
 
 
-def _timed_steps(step_fn, n_steps: int, warmup: int = 3):
+def _sync(out):
+    """Synchronize by fetching data: on some hosted PJRT frontends
+    block_until_ready returns at enqueue, under-reporting timings."""
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
+def _timed_steps(step_fn, n_steps: int, warmup: int = 3):
     out = None
     for i in range(warmup):
         out = step_fn(i)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for i in range(n_steps):
         out = step_fn(i)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / n_steps
 
 
