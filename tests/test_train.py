@@ -179,3 +179,26 @@ def test_segmented_epoch_matches_fused():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kill_and_resume_recovers_training(tmp_path):
+    """Simulated failure recovery: train 2 epochs, 'crash', resume from the
+    periodic checkpoint in a fresh Trainer, finish to epoch 4 (the restart
+    drill the reference cannot do — SURVEY.md §5 failure-detection row)."""
+    graph, edges, model_cfg, _ = _mk()
+    cfg = TrainConfig(batch_size=128, lr=1e-2, epochs=2, save_every=1)
+    t1 = Trainer(model_cfg, cfg, graph, graph, edges, edges[:100],
+                 str(tmp_path))
+    t1.train()
+    del t1  # "crash"
+
+    cfg2 = TrainConfig(batch_size=128, lr=1e-2, epochs=4, save_every=1)
+    t2 = Trainer(model_cfg, cfg2, graph, graph, edges, edges[:100],
+                 str(tmp_path))
+    # (Periodic files skip best epochs, matching the reference's quirk at
+    # src/train.py:444-450; the final model is the canonical resume point.)
+    t2.resume(tmp_path / "models" / "final_model")
+    result = t2.train()
+    assert t2.epoch == 4
+    # History carries the pre-crash epochs plus the resumed ones.
+    assert len(result["history"]["train_losses"]) == 4
