@@ -143,13 +143,17 @@ class EmbeddingVisualizer:
             plt.close(fig)
 
     def cluster(self, n_clusters: int = 10, seed: int = 0) -> Dict[str, Dict]:
-        """KMeans + silhouette per node type
-        (reference: visualize_embeddings.py:651-777)."""
+        """KMeans + silhouette per node type, with per-cluster example files
+        and a summary (reference: visualize_embeddings.py:651-777 and the
+        {drug,disease}_cluster_examples.txt / clustering_summary.txt outputs
+        in the reference's results/embeddings/)."""
         from sklearn.cluster import KMeans
         from sklearn.metrics import silhouette_score
 
         out = {}
-        for t in ["drug", "disease", "gene/protein"]:
+        summary = ["=" * 60, "CLUSTERING SUMMARY", "=" * 60, ""]
+        for t, stem in [("drug", "drug"), ("disease", "disease"),
+                        ("gene/protein", "gene")]:
             idx = self.ctx.indices_of_type(t)
             if len(idx) < n_clusters * 2:
                 continue
@@ -161,6 +165,25 @@ class EmbeddingVisualizer:
             sizes = np.bincount(labels).tolist()
             out[t] = {"n_clusters": n_clusters, "silhouette": sil,
                       "cluster_sizes": sizes}
+            summary.append(f"{t}: k={n_clusters}, silhouette={sil:.4f}, "
+                           f"sizes={sizes}")
+
+            # Example members nearest each centroid.
+            lines = [f"Cluster examples for {t} (k={n_clusters})", "-" * 60]
+            for c in range(n_clusters):
+                members = np.flatnonzero(labels == c)
+                if len(members) == 0:
+                    continue
+                dists = np.linalg.norm(x[members] - km.cluster_centers_[c],
+                                       axis=1)
+                nearest = members[np.argsort(dists)[:8]]
+                names = [self.ctx.node_names[idx[m]][:40] for m in nearest]
+                lines.append(f"cluster {c} ({len(members)} members): "
+                             + "; ".join(names))
+            (self.output_dir / f"{stem}_cluster_examples.txt").write_text(
+                "\n".join(lines))
+        (self.output_dir / "clustering_summary.txt").write_text(
+            "\n".join(summary))
         return out
 
     def stats_report(self, cluster_info: Optional[Dict] = None,
