@@ -3,17 +3,22 @@
 Why: XLA lowers ``segment_sum`` to a scatter-add that updates one row per
 edge (~9 cycles/edge measured on v5e — identical time for f32 and bf16, i.e.
 pure per-row overhead, not bandwidth). This kernel replaces the per-edge
-scatter with per-*run* work by exploiting that the segment ids are sorted:
+scatter with per-*run* work by exploiting that the segment ids are sorted
+AND static (the graph never changes within a compiled program):
 
   - Edges stream through VMEM in chunks of K rows (double-buffered by the
     Pallas pipeline).
-  - Within a chunk, consecutive equal ids form runs. A rank vector
-    (log-step inclusive scan of run starts) compacts the chunk into <= K run
-    sums via ONE one-hot matmul on the MXU:
-    ``partial[j] = sum_{rank[k]=j} msg[k]``.
+  - Within a chunk, consecutive equal ids form runs. The per-edge run rank,
+    each run's destination id, and the run count are all **precomputed on
+    the host** and streamed/prefetched alongside the messages, so the kernel
+    body is ONE iota-compare + ONE one-hot MXU matmul
+    (``partial[j] = sum_{rank[k]=j} msg[k]``) + per-run stores. (Earlier
+    versions computed ranks with an in-kernel log-step scan and run
+    destinations with a lane max-reduction; precomputation removed both.)
   - Only the run sums (total ~= #distinct (node, chunk) pairs — tens of
     thousands instead of millions) are read-modify-written into the output
-    tile resident in VMEM.
+    tile resident in VMEM; chunks whose runs hit consecutive in-tile rows
+    (the common dense-bucket case) use a single aligned block store.
   - The output is tiled over segments so arbitrarily large node counts fit
     VMEM. The grid is a flat, host-precomputed list of (tile, chunk) pairs —
     each tile visits exactly the chunk range that can touch it, with no
@@ -30,7 +35,7 @@ equivalent demanded by SURVEY.md §2.5.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,80 +50,122 @@ SEG_K = 512
 SEG_TILE = 8192
 
 
-def _lane_iota(k: int) -> jnp.ndarray:
-    return jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+class _Schedule(NamedTuple):
+    """Host-precomputed kernel metadata for one (dst_host, num_segments)."""
+
+    pair_tile: np.ndarray    # int32[P]
+    pair_chunk: np.ndarray   # int32[P]
+    pair_first: np.ndarray   # int32[P]
+    pair_skip: np.ndarray    # int32[P]
+    rank: np.ndarray         # int32[E] per-edge run rank within its chunk
+    runs_dst: np.ndarray     # int32[n_chunks, rows] run destinations
+    n_runs: np.ndarray       # int32[n_chunks]
+    contiguous: np.ndarray   # int32[n_chunks] 1 if runs hit consecutive ids
+    rows: int                # compaction width (max runs/chunk, mult of 128)
+    n_tiles: int
 
 
-def _segment_kernel(tile_ref, chunk_ref, first_ref, skip_ref,
-                    msg_ref, dst_ref, out_ref,
-                    partial_ref, runs_ref, *, tile: int, k: int, rows: int,
+def _build_schedule(dst_host: np.ndarray, num_segments: int,
+                    k: int, tile: int) -> _Schedule:
+    """All static kernel metadata in one vectorized host pass."""
+    e = dst_host.shape[0]
+    n_chunks = e // k
+    chunks = dst_host.reshape(n_chunks, k)
+
+    # Per-edge rank of its run within the chunk.
+    is_start = np.ones((n_chunks, k), np.int32)
+    is_start[:, 1:] = (np.diff(chunks, axis=1) != 0).astype(np.int32)
+    rank = np.cumsum(is_start, axis=1, dtype=np.int32) - 1
+    n_runs = rank[:, -1] + 1
+    rows = int(min(k, max(128, -(-int(n_runs.max()) // 128) * 128)))
+
+    # Run destinations, padded with the last segment id (harmless: rows at
+    # index >= n_runs have all-zero partials).
+    runs_dst = np.full((n_chunks, rows), num_segments - 1, np.int32)
+    starts = is_start.astype(bool)
+    chunk_ids, _ = np.nonzero(starts)
+    flat_rank = rank[starts]
+    runs_dst[chunk_ids, flat_rank] = chunks[starts]
+    first = runs_dst[np.arange(n_chunks), 0]
+    last = runs_dst[np.arange(n_chunks), n_runs - 1]
+    contiguous = ((last - first) == (n_runs - 1)).astype(np.int32)
+
+    # Flat (tile, chunk) pair schedule.
+    n_tiles = -(-num_segments // tile)
+    t_starts = np.searchsorted(dst_host, np.arange(n_tiles) * tile, "left")
+    t_stops = np.searchsorted(dst_host, (np.arange(n_tiles) + 1) * tile,
+                              "left")
+    c_lo = t_starts // k
+    c_hi = np.maximum(-(-t_stops // k), c_lo)
+    pt, pc, pf, ps = [], [], [], []
+    for s in range(n_tiles):
+        if c_hi[s] == c_lo[s]:
+            pt.append(s); pc.append(0); pf.append(1); ps.append(1)
+            continue
+        for i, c in enumerate(range(int(c_lo[s]), int(c_hi[s]))):
+            pt.append(s); pc.append(c); pf.append(1 if i == 0 else 0)
+            ps.append(0)
+    return _Schedule(
+        pair_tile=np.asarray(pt, np.int32),
+        pair_chunk=np.asarray(pc, np.int32),
+        pair_first=np.asarray(pf, np.int32),
+        pair_skip=np.asarray(ps, np.int32),
+        rank=rank.reshape(-1),
+        runs_dst=runs_dst,
+        n_runs=n_runs.astype(np.int32),
+        contiguous=contiguous,
+        rows=rows,
+        n_tiles=n_tiles,
+    )
+
+
+def _segment_kernel(tile_ref, chunk_ref, first_ref, skip_ref, n_runs_ref,
+                    contig_ref, msg_ref, rank_ref, runs_ref, out_ref,
+                    partial_ref, *, tile: int, k: int, rows: int,
                     mxu_dtype: jnp.dtype):
     p = pl.program_id(0)
     tile_id = tile_ref[p]
-    first = first_ref[p]
-    skip = skip_ref[p]
+    chunk = chunk_ref[p]
 
-    @pl.when(first == 1)
+    @pl.when(first_ref[p] == 1)
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(skip == 0)
+    @pl.when(skip_ref[p] == 0)
     def _body():
-        d = dst_ref[0, 0, :].reshape(1, k)  # (1, K) int32, non-decreasing
-        lane = _lane_iota(k)
-
-        # Run starts: first lane, or id differs from previous lane.
-        prev = pltpu.roll(d, 1, axis=1)
-        is_start = jnp.logical_or(lane == 0, d != prev).astype(jnp.int32)
-
-        # rank[k] = (#starts at lanes <= k) - 1, via log-step inclusive scan.
-        r = is_start
-        sh = 1
-        while sh < k:
-            r = r + jnp.where(lane >= sh, pltpu.roll(r, sh, axis=1), 0)
-            sh *= 2
-        rank = r - 1  # (1, K) in [0, n_runs)
-        n_runs = rank[0, k - 1] + 1
+        rank = rank_ref[0, 0, :].reshape(1, k)
 
         # One-hot compaction on the MXU: partial[j] = sum of run j's rows.
-        # ``rows`` is the per-bucket upper bound on runs per chunk (host
-        # computed): dense buckets compact K edges into as few as 128 rows,
-        # shrinking the matmul 4x. TPU f32 matmuls default to a single bf16
-        # pass; request HIGHEST (exact) for the float32 path.
+        # ``rows`` is the per-bucket max runs/chunk: dense buckets compact K
+        # edges into as few as 128 rows (4x fewer FLOPs). TPU f32 matmuls
+        # default to a single bf16 pass; HIGHEST keeps the f32 path exact.
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0)
-        one_hot_bool = row_ids == rank  # (rows runs, K edges)
+        one_hot = (row_ids == rank).astype(mxu_dtype)
         precision = (jax.lax.Precision.HIGHEST
                      if mxu_dtype == jnp.float32 else None)
-        partial_ref[:] = jnp.dot(one_hot_bool.astype(mxu_dtype),
-                                 msg_ref[:].astype(mxu_dtype),
+        partial_ref[:] = jnp.dot(one_hot, msg_ref[:].astype(mxu_dtype),
                                  preferred_element_type=jnp.float32,
                                  precision=precision)
 
-        # Destination segment of each run: exact int32 lane reduction
-        # (a matmul would push node ids through bf16 and corrupt them).
-        runs_ref[:] = jnp.max(
-            jnp.where(one_hot_bool, jnp.broadcast_to(d, (rows, k)), -1),
-            axis=1, keepdims=True)
-
         t0 = tile_id * tile
-        row0 = runs_ref[0, 0] - t0
-        row_last = runs_ref[jnp.maximum(n_runs - 1, 0), 0] - t0
+        n_runs = n_runs_ref[chunk]
+        row0 = runs_ref[0, 0, 0] - t0
 
         # Fast path: runs hit consecutive output rows entirely inside this
         # tile (the common case for dense buckets) -> one block RMW. Rows at
-        # index >= n_runs have all-zero partials, so over-storing is exact.
-        contiguous = jnp.logical_and(
-            row_last - row0 == n_runs - 1,
+        # index >= n_runs hold exact zeros, so over-storing is harmless.
+        fast = jnp.logical_and(
+            contig_ref[chunk] == 1,
             jnp.logical_and(row0 >= 0, row0 + rows <= tile))
 
-        @pl.when(contiguous)
+        @pl.when(fast)
         def _fast():
             out_ref[pl.ds(row0, rows), :] += partial_ref[:]
 
-        @pl.when(jnp.logical_not(contiguous))
+        @pl.when(jnp.logical_not(fast))
         def _slow():
             def store(j, _):
-                row = runs_ref[j, 0] - t0
+                row = runs_ref[0, j, 0] - t0
 
                 @pl.when(jnp.logical_and(row >= 0, row < tile))
                 def _():
@@ -127,30 +174,6 @@ def _segment_kernel(tile_ref, chunk_ref, first_ref, skip_ref,
                 return 0
 
             jax.lax.fori_loop(0, n_runs, store, 0)
-
-
-def _pair_schedule(dst_host: np.ndarray, num_segments: int,
-                   k: int, tile: int) -> Tuple[np.ndarray, int]:
-    """Flat (tile, chunk) schedule (host-side, runs once per static graph).
-
-    Returns meta int32[P, 4] rows (tile_id, chunk_id, is_first_of_tile, skip)
-    and the tile count. Tiles with no overlapping chunks get one skip row so
-    their output block is still zeroed.
-    """
-    n_tiles = -(-num_segments // tile)
-    starts = np.searchsorted(dst_host, np.arange(n_tiles) * tile, side="left")
-    stops = np.searchsorted(dst_host, (np.arange(n_tiles) + 1) * tile,
-                            side="left")
-    c_lo = starts // k
-    c_hi = np.maximum(-(-stops // k), c_lo)
-    rows = []
-    for s in range(n_tiles):
-        if c_hi[s] == c_lo[s]:
-            rows.append((s, 0, 1, 1))
-            continue
-        for i, c in enumerate(range(int(c_lo[s]), int(c_hi[s]))):
-            rows.append((s, c, 1 if i == 0 else 0, 0))
-    return np.asarray(rows, dtype=np.int32), n_tiles
 
 
 def sorted_segment_sum_pallas(
@@ -166,9 +189,12 @@ def sorted_segment_sum_pallas(
 
     Args:
         msg: [E, D] float32 rows, E % SEG_K == 0, D % 128 == 0 (pad upstream).
-        dst: int32[E] non-decreasing segment ids in [0, num_segments).
-        dst_host: the same ids as a concrete numpy array (the graph is static;
-            the chunk schedule is precomputed on the host).
+        dst: int32[E] non-decreasing segment ids in [0, num_segments)
+            (device array; unused by the kernel itself — the schedule comes
+            from ``dst_host`` — kept for interface symmetry).
+        dst_host: the same ids as a concrete numpy array (the graph is
+            static; ranks, run destinations and the chunk schedule are
+            precomputed on the host).
         num_segments: number of output rows.
         mxu_dtype: dtype fed to the compaction matmul. float32 is exact;
             bfloat16 doubles MXU throughput at ~3 decimal digits on messages.
@@ -184,40 +210,35 @@ def sorted_segment_sum_pallas(
         interpret = True
 
     k, tile = SEG_K, SEG_TILE
-    meta, n_tiles = _pair_schedule(dst_host, num_segments, k, tile)
-    n_pairs = meta.shape[0]
-    out_rows = n_tiles * tile
+    sched = _build_schedule(dst_host, num_segments, k, tile)
+    n_pairs = sched.pair_tile.shape[0]
+    out_rows = sched.n_tiles * tile
+    rows = sched.rows
 
-    # Per-bucket compaction width: max #runs in any chunk, rounded to the MXU
-    # row granularity. Dense graphs (high in-degree) need far fewer than K.
-    chunk_view = dst_host.reshape(-1, k)
-    runs_per_chunk = 1 + (np.diff(chunk_view, axis=1) != 0).sum(axis=1)
-    rows = int(min(k, max(128, -(-int(runs_per_chunk.max()) // 128) * 128)))
+    rank_chunks = jnp.asarray(sched.rank.reshape(e // k, 1, k))
+    # Run destinations laid out (chunk, rows, 1): dynamic per-run reads index
+    # the sublane dimension (lane-dimension dynamic indexing is unsupported).
+    runs_chunks = jnp.asarray(sched.runs_dst.reshape(e // k, rows, 1))
 
-    dst_chunks = dst.reshape(e // k, 1, k)
+    # Flat 1-D prefetch arrays (2-D arrays would be lane-padded in SMEM).
+    def msg_index(p, *prefetch):
+        return prefetch[1][p], 0
 
-    # Four flat 1-D prefetch arrays (a [P, 4] array would be lane-padded to
-    # [P, 128] in SMEM and overflow it).
-    def msg_index(p, tile_ref, chunk_ref, first_ref, skip_ref):
-        return chunk_ref[p], 0
-
-    def dst_index(p, tile_ref, chunk_ref, first_ref, skip_ref):
-        return chunk_ref[p], 0, 0
-
-    def out_index(p, tile_ref, chunk_ref, first_ref, skip_ref):
-        return tile_ref[p], 0
+    def aux_index(p, *prefetch):
+        return prefetch[1][p], 0, 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(n_pairs,),
         in_specs=[
             pl.BlockSpec((k, d_dim), msg_index),
-            pl.BlockSpec((1, 1, k), dst_index),
+            pl.BlockSpec((1, 1, k), aux_index),
+            pl.BlockSpec((1, rows, 1), aux_index),
         ],
-        out_specs=pl.BlockSpec((tile, d_dim), out_index),
+        out_specs=pl.BlockSpec((tile, d_dim),
+                               lambda p, *prefetch: (prefetch[0][p], 0)),
         scratch_shapes=[
             pltpu.VMEM((rows, d_dim), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.int32),
         ],
     )
 
@@ -228,7 +249,8 @@ def sorted_segment_sum_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, d_dim), jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(meta[:, 0]), jnp.asarray(meta[:, 1]),
-      jnp.asarray(meta[:, 2]), jnp.asarray(meta[:, 3]),
-      msg.astype(jnp.float32), dst_chunks)
+    )(jnp.asarray(sched.pair_tile), jnp.asarray(sched.pair_chunk),
+      jnp.asarray(sched.pair_first), jnp.asarray(sched.pair_skip),
+      jnp.asarray(sched.n_runs), jnp.asarray(sched.contiguous),
+      msg.astype(jnp.float32), rank_chunks, runs_chunks)
     return out[:num_segments]
