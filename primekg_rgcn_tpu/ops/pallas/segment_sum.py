@@ -202,8 +202,11 @@ def sorted_segment_sum_pallas(
     e, d_dim = msg.shape
     if e % SEG_K:
         raise ValueError(f"edge count {e} not a multiple of {SEG_K}")
-    if d_dim % 128:
-        raise ValueError(f"feature dim {d_dim} not a multiple of 128")
+    if d_dim % 64:
+        # 64 is allowed: blocks use the full (64-wide) minor dimension and
+        # Mosaic lane-pads in VMEM, while HBM<->VMEM DMA moves logical bytes,
+        # so 64-wide layers stream at their true width.
+        raise ValueError(f"feature dim {d_dim} not a multiple of 64")
 
     if jax.default_backend() == "cpu":
         # No Mosaic on CPU (tests / simulated meshes): run interpreted.

@@ -107,7 +107,7 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
         at its final width."""
         if use_pallas and not _sparse_bucket(seg_host):
             d_dim = x.shape[1]
-            pad = (-d_dim) % 128
+            pad = (-d_dim) % 64
             if pad:
                 x = jnp.pad(x, ((0, 0), (0, pad)))
             msg = jnp.take(x, take_ids, axis=0)
