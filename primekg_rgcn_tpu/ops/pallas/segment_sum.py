@@ -137,15 +137,27 @@ def _segment_kernel(tile_ref, chunk_ref, first_ref, skip_ref, n_runs_ref,
 
         # One-hot compaction on the MXU: partial[j] = sum of run j's rows.
         # ``rows`` is the per-bucket max runs/chunk: dense buckets compact K
-        # edges into as few as 128 rows (4x fewer FLOPs). TPU f32 matmuls
-        # default to a single bf16 pass; HIGHEST keeps the f32 path exact.
+        # edges into as few as 128 rows (4x fewer FLOPs).
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, k), 0)
-        one_hot = (row_ids == rank).astype(mxu_dtype)
-        precision = (jax.lax.Precision.HIGHEST
-                     if mxu_dtype == jnp.float32 else None)
-        partial_ref[:] = jnp.dot(one_hot, msg_ref[:].astype(mxu_dtype),
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+        if mxu_dtype == jnp.float32:
+            # The one-hot operand is EXACT in bf16 (values 0/1), so f32
+            # fidelity needs only a 3-term bf16 split of the messages
+            # (f32 mantissa = 3 x 8 bits) — 3 single-pass matmuls instead of
+            # the 6 passes Precision.HIGHEST spends on two f32 operands.
+            one_hot = (row_ids == rank).astype(jnp.bfloat16)
+            m = msg_ref[:]
+            m1 = m.astype(jnp.bfloat16)
+            r1 = m - m1.astype(jnp.float32)
+            m2 = r1.astype(jnp.bfloat16)
+            m3 = (r1 - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jnp.dot(one_hot, m1, preferred_element_type=jnp.float32)
+            acc += jnp.dot(one_hot, m2, preferred_element_type=jnp.float32)
+            acc += jnp.dot(one_hot, m3, preferred_element_type=jnp.float32)
+            partial_ref[:] = acc
+        else:
+            one_hot = (row_ids == rank).astype(mxu_dtype)
+            partial_ref[:] = jnp.dot(one_hot, msg_ref[:].astype(mxu_dtype),
+                                     preferred_element_type=jnp.float32)
 
         t0 = tile_id * tile
         n_runs = n_runs_ref[chunk]
