@@ -113,12 +113,30 @@ class Evaluator:
         return self.scores, self.labels
 
     def compute_ranking_metrics(
-        self, k_values: Optional[Sequence[int]] = None
+        self, k_values: Optional[Sequence[int]] = None,
+        *, sharded: Optional[bool] = None,
     ) -> Dict[str, float]:
+        """Raw ranking metrics. When several devices are visible (and
+        ``sharded`` is not explicitly False), the all-tails scoring shards
+        the entity axis across the mesh (evaluate/sharded_ranking.py) —
+        required when B x N score rows stop fitting one chip."""
         k_values = list(k_values or self.cfg.k_values)
         e = self.test_edges
         n = e.shape[0]
         b = self.cfg.batch_size
+
+        if sharded is None:
+            sharded = len(jax.devices()) > 1
+        rank_fn = self._rank_batch
+        if sharded and len(jax.devices()) > 1:
+            from primekg_rgcn_tpu.evaluate.sharded_ranking import (
+                build_sharded_ranker,
+            )
+            from primekg_rgcn_tpu.parallel.mesh import make_mesh
+
+            rank_fn = build_sharded_ranker(make_mesh(len(jax.devices())),
+                                           self._node_emb, self._rel_emb)
+
         # Pad to a fixed batch shape so one compiled program serves all steps.
         n_pad = -(-n // b) * b
         pad = n_pad - n
@@ -126,9 +144,9 @@ class Evaluator:
         ranks = []
         for start in range(0, n_pad, b):
             chunk = ep[start:start + b]
-            rk = self._rank_batch(jnp.asarray(chunk[:, 0]),
-                                  jnp.asarray(chunk[:, 2]),
-                                  jnp.asarray(chunk[:, 1]))
+            rk = rank_fn(jnp.asarray(chunk[:, 0]),
+                         jnp.asarray(chunk[:, 2]),
+                         jnp.asarray(chunk[:, 1]))
             ranks.append(np.asarray(rk))
         ranks = np.concatenate(ranks)[:n]
         return ranking_metrics_from_ranks(ranks, k_values)

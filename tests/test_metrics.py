@@ -123,3 +123,28 @@ def test_evaluator_end_to_end(tmp_path):
     save_results(metrics, tmp_path, {"epoch": 1})
     assert (tmp_path / "results.json").exists()
     assert (tmp_path / "metrics_summary.txt").exists()
+
+
+def test_evaluator_sharded_ranking_matches_single():
+    import jax
+    from primekg_rgcn_tpu.config import EvalConfig, ModelConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.evaluate.evaluator import Evaluator
+    from primekg_rgcn_tpu.models.rgcn import init_params
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    rng = np.random.default_rng(3)
+    n, r, e = 90, 3, 600
+    graph = build_rel_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                            rng.integers(0, r, e), n, r,
+                            bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    test_edges = np.stack([rng.integers(0, n, 100), rng.integers(0, n, 100),
+                           rng.integers(0, r, 100)], axis=1)
+    ev = Evaluator(params, cfg, graph, test_edges, EvalConfig(batch_size=32))
+    m_single = ev.compute_ranking_metrics(sharded=False)
+    m_sharded = ev.compute_ranking_metrics(sharded=True)
+    assert m_single == m_sharded
