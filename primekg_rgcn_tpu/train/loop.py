@@ -202,7 +202,11 @@ def build_train_epoch(
             update_step, (state, stats), (batch_indices, keys))
         return state, stats
 
-    stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+    def _fresh_stats():
+        # Fresh buffers each epoch: the segmented path donates its stats
+        # carry, so a shared closure constant would be consumed by epoch 1.
+        return (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+
     seg = int(train_cfg.steps_per_scan)
     # Buffer donation is unreliable on the hosted axon TPU frontend
     # (InvalidArgument on the epoch after a donated execution); detect it
@@ -216,7 +220,8 @@ def build_train_epoch(
     if seg <= 0 or seg >= n_updates:
         def epoch_fn(state: TrainState, key: jax.Array):
             batch_indices, keys = _prep(key)
-            state, stats = _segment(state, stats0, batch_indices, keys)
+            state, stats = _segment(state, _fresh_stats(), batch_indices,
+                                    keys)
             loss_sum, correct, count = stats
             return state, (loss_sum / count, correct / count)
 
@@ -230,7 +235,7 @@ def build_train_epoch(
 
     def epoch_fn(state: TrainState, key: jax.Array):
         batch_indices, keys = prep_jit(key)
-        stats = stats0
+        stats = _fresh_stats()
         for i in range(n_full):
             s = i * seg
             state, stats = seg_jit(state, stats,

@@ -202,3 +202,20 @@ def test_kill_and_resume_recovers_training(tmp_path):
     assert t2.epoch == 4
     # History carries the pre-crash epochs plus the resumed ones.
     assert len(result["history"]["train_losses"]) == 4
+
+
+def test_segmented_multi_epoch_with_donation():
+    """Regression: the segmented path donates its stats carry; a second
+    epoch must not reuse consumed buffers."""
+    graph, edges, model_cfg, _ = _mk()
+    cfg = TrainConfig(batch_size=100, lr=1e-2, steps_per_scan=2, seed=3)
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    f = build_train_epoch(graph, edges, model_cfg, cfg, opt,
+                          rgcn_layer_segment)
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        state, (loss, acc) = f(state, k)
+        assert np.isfinite(float(loss))
