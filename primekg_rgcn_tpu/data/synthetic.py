@@ -151,3 +151,28 @@ def rmat(
         "num_nodes": num_nodes,
         "num_relations": num_relations,
     }
+
+
+def synthetic_mappings(raw: Dict[str, np.ndarray]) -> Dict:
+    """Reference-format mappings for a primekg_like graph.
+
+    Gives synthetic nodes stable ids/names/types so the analysis suite
+    (name lookup, per-type indexing) runs on synthetically trained models.
+    """
+    idx2node = {}
+    node2idx = {}
+    for ntype, (lo, hi) in raw["type_ranges"].items():
+        tag = {"drug": "drug", "disease": "disease",
+               "gene/protein": "gene"}[ntype]
+        for i in range(lo, hi):
+            nid = f"SYN{tag.upper()}{i - lo}"
+            name = f"synthetic {tag} {i - lo}"
+            idx2node[i] = (nid, name, ntype)
+            node2idx[(nid, ntype)] = i
+    relation2idx = {r: i for i, r in enumerate(PRIMEKG_RELATIONS)}
+    return {
+        "node2idx": node2idx,
+        "idx2node": idx2node,
+        "relation2idx": relation2idx,
+        "idx2relation": {i: r for r, i in relation2idx.items()},
+    }

@@ -107,6 +107,10 @@ def _load_graphs(args):
         _save("val_data", val_edges)
         _save("test_data", test_edges)
         _save("full_graph", np.stack([src, dst, rel], 1))
+        from primekg_rgcn_tpu.data.synthetic import synthetic_mappings
+
+        artifacts.save_mappings(out / "mappings.json",
+                                synthetic_mappings(raw))
         log.info("Saved synthetic splits to %s", out)
         return train_graph, full_graph, train_edges, val_edges, n, r
 
