@@ -67,7 +67,11 @@ def _load_graphs(args):
     """(train_graph, full_graph, train_edges, val_edges, model dims)."""
     from primekg_rgcn_tpu.data import artifacts
     from primekg_rgcn_tpu.data.graph import build_rel_graph
-    from primekg_rgcn_tpu.data.synthetic import bidirect, primekg_like
+    from primekg_rgcn_tpu.data.synthetic import (
+        bidirect,
+        primekg_like,
+        synthetic_mappings,
+    )
 
     log = logging.getLogger("train")
     if args.synthetic:
@@ -107,8 +111,6 @@ def _load_graphs(args):
         _save("val_data", val_edges)
         _save("test_data", test_edges)
         _save("full_graph", np.stack([src, dst, rel], 1))
-        from primekg_rgcn_tpu.data.synthetic import synthetic_mappings
-
         artifacts.save_mappings(out / "mappings.json",
                                 synthetic_mappings(raw))
         log.info("Saved synthetic splits to %s", out)

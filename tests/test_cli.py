@@ -101,6 +101,7 @@ def test_train_resume_cli(tiny_dataset):
 
 def test_synthetic_training_cli(tmp_path):
     from primekg_rgcn_tpu.train.cli import main as train_main
+    from primekg_rgcn_tpu.data import artifacts
 
     out = tmp_path / "out"
     train_main(["--synthetic", "--synthetic_scale", "0.01",
@@ -108,6 +109,17 @@ def test_synthetic_training_cli(tmp_path):
                 "--batch_size", "512", "--embedding_dim", "8",
                 "--hidden_dim", "8"])
     assert (out / "models" / "final_model.msgpack").exists()
+
+    # The synthetic data dir must be a complete reference-format dataset,
+    # including mappings the analysis suite can consume.
+    ds = artifacts.load_dataset(out / "synthetic_data")
+    assert ds["mappings"] is not None
+    m = ds["mappings"]
+    types = {t for (_, _, t) in m["idx2node"].values()}
+    assert types == {"drug", "disease", "gene/protein"}
+    assert m["relation2idx"] == {"drug-gene": 0, "gene-disease": 1,
+                                 "gene-gene": 2}
+    assert len(m["idx2node"]) == ds["train"]["num_nodes"]
 
 
 def test_sampled_training_cli(tiny_dataset):
