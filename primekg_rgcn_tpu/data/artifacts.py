@@ -130,11 +130,15 @@ def _mappings_from_json(raw: Dict[str, Any]) -> Dict[str, Any]:
 
 def split_to_edges(split: Dict[str, Any]) -> np.ndarray:
     """[E, 3] (head, tail, rel) rows with the reference's defensive filtering
-    of out-of-range node ids (reference: src/train.py:571-591)."""
+    of out-of-range node ids (reference: src/train.py:571-591), extended to
+    out-of-range relation ids (jnp.take would silently clamp them to the
+    last relation at scoring time)."""
     ei = np.asarray(split["edge_index"])
     et = np.asarray(split["edge_type"])
     n = split["num_nodes"]
+    r = split["num_relations"]
     valid = (ei[0] >= 0) & (ei[0] < n) & (ei[1] >= 0) & (ei[1] < n)
+    valid &= (et >= 0) & (et < r)
     return np.stack([ei[0][valid], ei[1][valid], et[valid]], axis=1)
 
 

@@ -70,8 +70,7 @@ def main(argv=None):
     log.info("Test edges: %d over %d nodes", len(test_edges),
              full_graph.num_nodes)
 
-    layer_fn = functools.partial(rgcn_layer_segment,
-                                 impl="xla" if args.impl == "xla" else "auto")
+    layer_fn = functools.partial(rgcn_layer_segment, impl=args.impl)
     evaluator = Evaluator(
         params, model_cfg, full_graph, test_edges,
         EvalConfig(batch_size=args.batch_size,

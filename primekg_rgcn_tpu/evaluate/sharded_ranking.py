@@ -36,11 +36,12 @@ def build_sharded_ranker(mesh: Mesh, node_emb: jnp.ndarray,
     n, d = node_emb.shape
     n_loc = -(-n // n_dev)
     pad = n_dev * n_loc - n
+    # Padding rows are zero and masked out of the rank count explicitly
+    # (scoring them -inf would NOT work: sum(hr * -inf) is +inf whenever
+    # hr is all-negative, and NaN on mixed signs).
     emb_pad = jnp.concatenate(
-        [jnp.asarray(node_emb),
-         jnp.full((pad, d), -jnp.inf, node_emb.dtype)], axis=0) \
-        if pad else jnp.asarray(node_emb)
-    # Padding rows scored -inf never outrank anything.
+        [jnp.asarray(node_emb), jnp.zeros((pad, d), node_emb.dtype)],
+        axis=0) if pad else jnp.asarray(node_emb)
     emb_dm = emb_pad.reshape(n_dev, n_loc, d)
     emb_sh = jax.device_put(emb_dm, NamedSharding(mesh, P(axis_name)))
 
@@ -58,8 +59,11 @@ def build_sharded_ranker(mesh: Mesh, node_emb: jnp.ndarray,
         picked = scores_local[jnp.arange(true_tails.shape[0]), loc_idx]
         true_scores = jax.lax.psum(
             jnp.where(owner == my, picked, 0.0), axis_name)
+        # Mask this shard's padding slots (global id >= n) out of the count.
+        valid = (my * n_loc + jnp.arange(n_loc)) < n
         better = jnp.sum(
-            (scores_local > true_scores[:, None]).astype(jnp.int32), axis=1)
+            ((scores_local > true_scores[:, None]) & valid[None, :])
+            .astype(jnp.int32), axis=1)
         return 1 + jax.lax.psum(better, axis_name)
 
     @jax.jit

@@ -34,7 +34,7 @@ from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
 from primekg_rgcn_tpu.data.graph import RelGraph
 from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
 from primekg_rgcn_tpu.ops.distmult import distmult_score
-from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+from primekg_rgcn_tpu.train.neg_sampling import bce_stats, candidate_batch
 
 
 class ShardedGraph(NamedTuple):
@@ -207,20 +207,12 @@ def build_sharded_train_step(
         batch = batch_shard[0]  # [B/n, 4]
 
         def loss_sums(p):
-            h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
-            mask = batch[:, 3].astype(jnp.float32)
             # Fold the device index into the sampling key so negatives differ
             # across shards.
             dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-            nh, nt, nr = sample_negatives(dev_key, h, t, r, sg.num_nodes,
-                                          train_cfg.num_neg_samples)
-            heads = jnp.concatenate([h, nh])
-            tails = jnp.concatenate([t, nt])
-            rels = jnp.concatenate([r, nr])
-            labels = jnp.concatenate([jnp.ones_like(h, jnp.float32),
-                                      jnp.zeros_like(nh, jnp.float32)])
-            weights = jnp.concatenate(
-                [mask, jnp.repeat(mask, train_cfg.num_neg_samples)])
+            heads, tails, rels, labels, weights = candidate_batch(
+                dev_key, batch[:, 0], batch[:, 1], batch[:, 2], sg.num_nodes,
+                train_cfg.num_neg_samples, mask=batch[:, 3])
 
             node_emb = _sharded_encoder(p, local_edges, sg, model_cfg,
                                         axis_name, dropout_rng=dropout_key,
@@ -235,11 +227,8 @@ def build_sharded_train_step(
                 m = jax.random.bernoulli(dk, keep, re.shape)
                 re = jnp.where(m, re / keep, 0.0)
             scores = distmult_score(he, te, re)
-            per_ex = optax.sigmoid_binary_cross_entropy(scores, labels)
-            loss_sum = (per_ex * weights).sum()
-            preds = (jax.nn.sigmoid(scores) > 0.5).astype(jnp.float32)
-            correct = ((preds == labels).astype(jnp.float32) * weights).sum()
-            return loss_sum, (correct, weights.sum())
+            loss_sum, correct, count = bce_stats(scores, labels, weights)
+            return loss_sum, (correct, count)
 
         (loss_sum, (correct, count)), grads = jax.value_and_grad(
             loss_sums, has_aux=True)(params)

@@ -39,7 +39,7 @@ from primekg_rgcn_tpu.data.graph import RelGraph, edge_arrays_from_graph
 from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
 from primekg_rgcn_tpu.ops.distmult import distmult_score
 from primekg_rgcn_tpu.train.loop import TrainState
-from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+from primekg_rgcn_tpu.train.neg_sampling import bce_stats, candidate_batch
 
 
 def _round_up(x: int, m: int) -> int:
@@ -282,17 +282,11 @@ def build_node_sharded_train_step(
         k_neg, k_drop = jax.random.split(key)
 
         def loss_sums(p):
-            h, t, r = batch[:, 0], batch[:, 1], batch[:, 2]
-            mask = batch[:, 3].astype(jnp.float32)
-            nh, nt, nr = sample_negatives(k_neg, h, t, r, sg.num_nodes,
-                                          train_cfg.num_neg_samples)
-            heads = jnp.concatenate([h, nh])
-            tails = jnp.concatenate([t, nt])
-            rels = jnp.concatenate([r, nr])
-            labels = jnp.concatenate([jnp.ones_like(h, jnp.float32),
-                                      jnp.zeros_like(nh, jnp.float32)])
-            weights = jnp.concatenate(
-                [mask, jnp.repeat(mask, train_cfg.num_neg_samples)])
+            # Replicated batch: every device draws the SAME negatives so the
+            # psum-assembled loss is identical everywhere.
+            heads, tails, rels, labels, weights = candidate_batch(
+                k_neg, batch[:, 0], batch[:, 1], batch[:, 2], sg.num_nodes,
+                train_cfg.num_neg_samples, mask=batch[:, 3])
 
             x = _sharded_encoder(p, sg, local, model_cfg, axis_name,
                                  train=True, dropout_rng=k_drop,
@@ -309,11 +303,8 @@ def build_node_sharded_train_step(
             he, te = fetch(heads), fetch(tails)
             re = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)
             scores = distmult_score(he, te, re)
-            per_ex = optax.sigmoid_binary_cross_entropy(scores, labels)
-            loss_sum = (per_ex * weights).sum()
-            preds = (jax.nn.sigmoid(scores) > 0.5).astype(jnp.float32)
-            correct = ((preds == labels).astype(jnp.float32) * weights).sum()
-            return loss_sum, (correct, weights.sum())
+            loss_sum, correct, count = bce_stats(scores, labels, weights)
+            return loss_sum, (correct, count)
 
         (loss_sum, (correct, count)), grads = jax.value_and_grad(
             loss_sums, has_aux=True)(params)

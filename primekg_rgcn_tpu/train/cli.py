@@ -76,21 +76,33 @@ def _load_graphs(args):
     log = logging.getLogger("train")
     if args.synthetic:
         raw = primekg_like(seed=args.seed, scale=args.synthetic_scale)
-        src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
         n, r = raw["num_nodes"], raw["num_relations"]
-        # Hold out drug-gene edges as val/test, mirroring the reference's
-        # split-target-relation-only protocol (~15% each).
-        dg = np.flatnonzero(rel == 0)
+        # Hold out drug-gene rows as val/test BEFORE bidirecting, mirroring
+        # the reference's protocol (reference: src/preprocess.py:265-345
+        # splits undirected rows, then each split emits fwd+rev edges).
+        # Splitting after bidirect would leave the reverse copy of every
+        # held-out edge in the training set — with DistMult's head/tail
+        # symmetry that trains directly on the test positives.
+        dg_rows = np.flatnonzero(raw["rel"] == 0)
         rng = np.random.default_rng(args.seed)
-        heldout = rng.choice(dg, size=max(2 * (len(dg) // 7), 2),
+        heldout = rng.choice(dg_rows, size=max(2 * (len(dg_rows) // 7), 2),
                              replace=False)
-        val_idx = heldout[: len(heldout) // 2]
-        test_idx = heldout[len(heldout) // 2:]
-        mask = np.ones(len(src), bool)
+        val_rows = heldout[: len(heldout) // 2]
+        test_rows = heldout[len(heldout) // 2:]
+        mask = np.ones(len(raw["src"]), bool)
         mask[heldout] = False
-        train_edges = np.stack([src[mask], dst[mask], rel[mask]], 1)
-        val_edges = np.stack([src[val_idx], dst[val_idx], rel[val_idx]], 1)
-        test_edges = np.stack([src[test_idx], dst[test_idx], rel[test_idx]], 1)
+
+        def _bid(rows_mask_or_idx):
+            s, d, rr = (raw["src"][rows_mask_or_idx],
+                        raw["dst"][rows_mask_or_idx],
+                        raw["rel"][rows_mask_or_idx])
+            bs, bd, br = bidirect(s, d, rr)
+            return np.stack([bs, bd, br], 1)
+
+        train_edges = _bid(mask)
+        val_edges = _bid(val_rows)
+        test_edges = _bid(test_rows)
+        src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
         train_graph = build_rel_graph(train_edges[:, 0], train_edges[:, 1],
                                       train_edges[:, 2], n, r)
         full_graph = build_rel_graph(src, dst, rel, n, r)
@@ -165,8 +177,7 @@ def main(argv=None):
     import functools
     from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
 
-    layer_fn = functools.partial(rgcn_layer_segment,
-                                 impl="xla" if args.impl == "xla" else "auto")
+    layer_fn = functools.partial(rgcn_layer_segment, impl=args.impl)
 
     if args.sample_fanouts:
         from primekg_rgcn_tpu.train.sampled import SampledTrainer

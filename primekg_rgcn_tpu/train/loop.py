@@ -35,7 +35,7 @@ from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
 from primekg_rgcn_tpu.data.graph import RelGraph
 from primekg_rgcn_tpu.models.rgcn import model_apply
 from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
-from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+from primekg_rgcn_tpu.train.neg_sampling import bce_stats, candidate_batch
 
 logger = logging.getLogger(__name__)
 
@@ -91,37 +91,21 @@ def _batch_loss(
     """
     num_edges = edges_pad.shape[0] - 1
     k_neg, k_drop = jax.random.split(key)
-    mask = (batch_idx < num_edges).astype(jnp.float32)
+    mask = batch_idx < num_edges
 
     batch = jnp.take(edges_pad, batch_idx, axis=0)
-    pos_h, pos_t, pos_r = batch[:, 0], batch[:, 1], batch[:, 2]
-    neg_h, neg_t, neg_r = sample_negatives(
-        k_neg, pos_h, pos_t, pos_r, graph.num_nodes, train_cfg.num_neg_samples
-    )
-
-    heads = jnp.concatenate([pos_h, neg_h])
-    tails = jnp.concatenate([pos_t, neg_t])
-    rels = jnp.concatenate([pos_r, neg_r])
-    labels = jnp.concatenate([
-        jnp.ones_like(pos_h, dtype=jnp.float32),
-        jnp.zeros_like(neg_h, dtype=jnp.float32),
-    ])
-    weights = jnp.concatenate(
-        [mask, jnp.repeat(mask, train_cfg.num_neg_samples)]
-    )
+    heads, tails, rels, labels, weights = candidate_batch(
+        k_neg, batch[:, 0], batch[:, 1], batch[:, 2], graph.num_nodes,
+        train_cfg.num_neg_samples, mask=mask)
 
     scores = model_apply(
         params, graph, heads, tails, rels, model_cfg,
         train=train, dropout_rng=k_drop if train else None, layer_fn=layer_fn,
     )
 
-    per_ex = optax.sigmoid_binary_cross_entropy(scores, labels)
-    count = jnp.maximum(weights.sum(), 1.0)
-    loss = (per_ex * weights).sum() / count
-
-    preds = (jax.nn.sigmoid(scores) > 0.5).astype(jnp.float32)
-    correct = ((preds == labels).astype(jnp.float32) * weights).sum()
-    return loss, (correct, weights.sum())
+    loss_sum, correct, count = bce_stats(scores, labels, weights)
+    loss = loss_sum / jnp.maximum(count, 1.0)
+    return loss, (correct, count)
 
 
 def build_train_epoch(
@@ -364,6 +348,9 @@ class Trainer:
             "best_val_loss": self.best_val_loss,
             "best_val_acc": self.best_val_acc,
             "history": self.history,
+            # RNG position so a resumed run continues the stream instead of
+            # replaying the shuffles/negatives/dropout of earlier epochs.
+            "rng_key": np.asarray(self.key).tolist(),
             "model_config": self.model_cfg.to_dict(),
             "train_config": self.train_cfg.to_dict(),
         }
@@ -386,6 +373,8 @@ class Trainer:
         self.best_val_loss = payload["best_val_loss"]
         self.best_val_acc = payload["best_val_acc"]
         self.history = payload["history"]
+        if "rng_key" in payload:
+            self.key = jnp.asarray(payload["rng_key"], dtype=jnp.uint32)
 
     # -- main loop -----------------------------------------------------------
     def train(self) -> Dict[str, Any]:
@@ -431,9 +420,18 @@ class Trainer:
             if is_best:
                 self.best_val_loss = val_loss
             self.best_val_acc = max(self.best_val_acc, val_acc)
-            if epoch % cfg.save_every == 0 or is_best:
-                self.save_checkpoint(is_best=is_best)
+            # Unlike the reference (whose periodic file is skipped whenever
+            # the epoch is also a new best, src/train.py:444-455), write the
+            # periodic snapshot unconditionally on its schedule so resume
+            # points have no gaps.
+            if epoch % cfg.save_every == 0:
+                self.save_checkpoint()
+            if is_best:
+                self.save_checkpoint(is_best=True)
 
+            # Preserved reference quirk (src/train.py:523-530): the window
+            # compares against its own first element, so patience=1 always
+            # stops at the first eligible epoch. Kept for parity.
             if cfg.early_stopping > 0 and \
                     len(self.history["val_losses"]) > cfg.early_stopping:
                 recent = self.history["val_losses"][-cfg.early_stopping:]

@@ -20,7 +20,7 @@ from primekg_rgcn_tpu.data.sampling import CsrCache, sample_batch
 from primekg_rgcn_tpu.models.rgcn import encoder_apply_sampled
 from primekg_rgcn_tpu.ops.distmult import distmult_score
 from primekg_rgcn_tpu.train.loop import TrainState
-from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
+from primekg_rgcn_tpu.train.neg_sampling import bce_stats, candidate_batch
 
 
 def build_sampled_train_step(
@@ -37,14 +37,9 @@ def build_sampled_train_step(
 
     def loss_fn(params, pos, key):
         k_neg, k_sample, k_drop = jax.random.split(key, 3)
-        h, t, r = pos[:, 0], pos[:, 1], pos[:, 2]
-        nh, nt, nr = sample_negatives(k_neg, h, t, r, model_cfg.num_nodes,
-                                      train_cfg.num_neg_samples)
-        heads = jnp.concatenate([h, nh])
-        tails = jnp.concatenate([t, nt])
-        rels = jnp.concatenate([r, nr])
-        labels = jnp.concatenate([jnp.ones_like(h, jnp.float32),
-                                  jnp.zeros_like(nh, jnp.float32)])
+        heads, tails, rels, labels, weights = candidate_batch(
+            k_neg, pos[:, 0], pos[:, 1], pos[:, 2], model_cfg.num_nodes,
+            train_cfg.num_neg_samples)
 
         # One shared sampled block for every endpoint in the batch.
         seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
@@ -55,10 +50,8 @@ def build_sampled_train_step(
         head_emb, tail_emb = emb[:m], emb[m:]
         rel_emb = jnp.take(params["decoder"]["rel_emb"], rels, axis=0)
         scores = distmult_score(head_emb, tail_emb, rel_emb)
-        loss = optax.sigmoid_binary_cross_entropy(scores, labels).mean()
-        preds = (jax.nn.sigmoid(scores) > 0.5).astype(jnp.float32)
-        acc = (preds == labels).mean()
-        return loss, acc
+        loss_sum, correct, count = bce_stats(scores, labels, weights)
+        return loss_sum / count, correct / count
 
     @jax.jit
     def step(state: TrainState, pos_edges, key):
@@ -157,13 +150,15 @@ class SampledTrainer:
             self.history["val_losses"].append(float(val_loss))
             from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
 
+            is_best = float(val_loss) < self.best_val_loss
+            if is_best:
+                self.best_val_loss = float(val_loss)
             payload = {"epoch": epoch, "state": self.state,
                        "best_val_loss": self.best_val_loss,
                        "best_val_acc": 0.0, "history": self.history,
                        "model_config": self.model_cfg.to_dict(),
                        "train_config": self.train_cfg.to_dict()}
-            if float(val_loss) < self.best_val_loss:
-                self.best_val_loss = float(val_loss)
+            if is_best:
                 ckpt_lib.save(self.model_dir / "best_model", payload)
             ckpt_lib.save(self.model_dir / "final_model", payload)
         return self.history
