@@ -113,6 +113,14 @@ def test_synthetic_training_cli(tmp_path):
     # The synthetic data dir must be a complete reference-format dataset,
     # including mappings the analysis suite can consume.
     ds = artifacts.load_dataset(out / "synthetic_data")
+    # Leakage regression: no held-out edge may appear in train in EITHER
+    # direction (DistMult is head/tail symmetric, so a reverse copy in train
+    # means training on the test positives).
+    train_set = {(int(h), int(t))
+                 for h, t in artifacts.split_to_edges(ds["train"])[:, :2]}
+    for h, t, _ in artifacts.split_to_edges(ds["test"]):
+        assert (int(h), int(t)) not in train_set
+        assert (int(t), int(h)) not in train_set
     assert ds["mappings"] is not None
     m = ds["mappings"]
     types = {t for (_, _, t) in m["idx2node"].values()}
