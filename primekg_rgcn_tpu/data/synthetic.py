@@ -86,6 +86,14 @@ def primekg_like(
     for rid, (srange, drange, n_rows) in specs.items():
         s = _sample_powerlaw_endpoints(rng, n_rows, srange[0], srange[1], alpha)
         d = _sample_powerlaw_endpoints(rng, n_rows, drange[0], drange[1], alpha)
+        # Every source-type entity appears in at least one row (in real
+        # PrimeKG a node exists only because some row references it; pure
+        # power-law sampling would leave tail drugs/diseases isolated and
+        # make path/case-study analyses degenerate). Overwrites the first
+        # |range| rows, keeping row counts identical to the statistics.
+        n_src = srange[1] - srange[0]
+        if n_rows >= n_src:
+            s[:n_src] = np.arange(srange[0], srange[1])
         rows_src.append(s)
         rows_dst.append(d)
         rows_rel.append(np.full(n_rows, rid, dtype=np.int64))

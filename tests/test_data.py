@@ -147,6 +147,15 @@ def test_primekg_like_generator_statistics():
     s2, d2, r2 = bidirect(raw["src"], raw["dst"], raw["rel"])
     assert len(s2) == 2 * len(raw["src"])
 
+    # Every drug and disease appears in at least one row (no isolated
+    # entities; real PrimeKG nodes exist only via rows).
+    dg_src = raw["src"][raw["rel"] == 0]
+    dis_src = raw["src"][raw["rel"] == 1]
+    drug_lo2, drug_hi2 = raw["type_ranges"]["drug"]
+    dis_lo, dis_hi = raw["type_ranges"]["disease"]
+    assert len(np.unique(dg_src)) == drug_hi2 - drug_lo2
+    assert len(np.unique(dis_src)) == dis_hi - dis_lo
+
 
 def test_rmat_generator():
     g = rmat(num_nodes=1000, num_edges=20000, num_relations=5, seed=1)
