@@ -59,12 +59,22 @@ def primekg_like(
     scale: float = 1.0,
     *,
     alpha: float = 2.5,
+    structure: str = "community",
+    n_communities: int = 64,
+    p_structured: float = 0.8,
 ) -> Dict[str, np.ndarray]:
     """Generate a PrimeKG-shaped heterogeneous graph.
 
     Returns a dict with undirected rows: src, dst, rel (int64 arrays) plus
     num_nodes / num_relations, using the reference's node-id layout. ``scale``
     < 1 shrinks node and row counts proportionally (for tests).
+
+    structure: "community" (default) assigns every node a latent community
+    and draws ``p_structured`` of each relation's rows within-community, so
+    held-out edges are genuinely predictable from the graph — an honest
+    end-to-end learnability check. "none" draws endpoints independently
+    (degree effects are then the only learnable signal; real PrimeKG's
+    biology has no counterpart in such a graph).
     """
     rng = np.random.default_rng(seed)
     nd = max(int(PRIMEKG_NUM_DISEASE * scale), 4)
@@ -83,9 +93,34 @@ def primekg_like(
         1: (disease, gene, int(PRIMEKG_REL_ROWS["gene-disease"] * scale * scale) or 16),
         2: (gene, gene, int(PRIMEKG_REL_ROWS["gene-gene"] * scale * scale) or 16),
     }
+    # Latent communities over the whole node space (community of node i is
+    # stable across relations, so drug->gene and gene->disease structure
+    # compose into learnable drug..disease paths).
+    community = rng.integers(0, n_communities, num_nodes)
+
     for rid, (srange, drange, n_rows) in specs.items():
         s = _sample_powerlaw_endpoints(rng, n_rows, srange[0], srange[1], alpha)
         d = _sample_powerlaw_endpoints(rng, n_rows, drange[0], drange[1], alpha)
+        if structure == "community":
+            # Rewire a fraction of destinations to a random member of the
+            # source's community (within the destination type range).
+            dst_ids = np.arange(drange[0], drange[1])
+            dst_comm = community[dst_ids]
+            order = np.argsort(dst_comm, kind="stable")
+            sorted_ids = dst_ids[order]
+            bounds = np.searchsorted(dst_comm[order],
+                                     np.arange(n_communities + 1))
+            rewire = rng.random(n_rows) < p_structured
+            cs = community[s]
+            lo, hi = bounds[cs], bounds[np.minimum(cs + 1, n_communities)]
+            has_member = hi > lo
+            # Power-law rank within the community keeps the heavy-tailed
+            # (hub-node) degree profile the scatter benchmarks rely on.
+            u = rng.random(n_rows)
+            offset = np.floor(np.maximum(hi - lo, 1) * u ** alpha).astype(
+                np.int64)
+            pick = lo + np.minimum(offset, np.maximum(hi - lo - 1, 0))
+            d = np.where(rewire & has_member, sorted_ids[pick], d)
         # Every source-type entity appears in at least one row (in real
         # PrimeKG a node exists only because some row references it; pure
         # power-law sampling would leave tail drugs/diseases isolated and
