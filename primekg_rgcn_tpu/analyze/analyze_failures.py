@@ -218,6 +218,9 @@ class FailureAnalyzer:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     p = argparse.ArgumentParser(description="Analyze model failure modes")

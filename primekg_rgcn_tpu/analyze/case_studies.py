@@ -142,6 +142,9 @@ class DrugDiseaseCaseStudy:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     p = argparse.ArgumentParser(description="Drug-disease case studies")

@@ -335,6 +335,9 @@ class MethodComparator:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     p = argparse.ArgumentParser(description="Compare RGCN against baselines")

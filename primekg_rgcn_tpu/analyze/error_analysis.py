@@ -202,6 +202,9 @@ class ErrorAnalyzer:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     from primekg_rgcn_tpu.data import artifacts

@@ -148,6 +148,9 @@ class PredictionExplainer:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     p = argparse.ArgumentParser(description="Explain a drug-disease "

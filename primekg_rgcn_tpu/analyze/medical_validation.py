@@ -184,6 +184,9 @@ class MedicalValidator:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     p = argparse.ArgumentParser(description="Medically validate novel "

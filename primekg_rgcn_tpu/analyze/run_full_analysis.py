@@ -231,6 +231,9 @@ class AnalysisPipeline:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description="Run the full analysis suite")
     p.add_argument("--model_path", default="output/models/best_model")
     p.add_argument("--output_dir", default="results")

@@ -225,6 +225,9 @@ class EmbeddingVisualizer:
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     p = argparse.ArgumentParser(description="Visualize learned embeddings")

@@ -143,6 +143,9 @@ def _load_graphs(args):
 
 
 def main(argv=None):
+    from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
+
+    apply_platform_env()
     args = parse_args(argv)
     if args.checkpoint_dir is not None:
         logging.getLogger("train").warning(

@@ -84,3 +84,20 @@ def profile_trace(log_dir, enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def apply_platform_env() -> None:
+    """Honor PRIMEKG_FORCE_CPU=1 before any JAX backend initialization.
+
+    Needed because the hosted TPU plugin pins JAX_PLATFORMS=axon at
+    interpreter start, so the standard env var cannot force CPU in
+    subprocesses (tests, the orchestrator's --subprocess mode on a busy
+    chip). Call first thing in every CLI main.
+    """
+    import os
+
+    if os.environ.get("PRIMEKG_FORCE_CPU") == "1":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized; nothing to do

@@ -224,3 +224,20 @@ def test_orchestrator_isolates_failures(trained_setup, tmp_path):
     # Both fail (bad data dir) but the pipeline completes and reports.
     assert results["error_analysis"]["success"] is False
     assert (tmp_path / "analysis_summary.txt").exists()
+
+
+def test_orchestrator_subprocess_mode(trained_setup, tmp_path, monkeypatch):
+    """The reference-style process-isolated mode (subprocess per analysis).
+    Children must not grab the (possibly busy) TPU during tests."""
+    monkeypatch.setenv("PRIMEKG_FORCE_CPU", "1")
+    model_path, data_dir, _ = trained_setup
+    from primekg_rgcn_tpu.analyze.run_full_analysis import AnalysisPipeline
+
+    pipe = AnalysisPipeline(model_path, tmp_path, data_dir,
+                            use_subprocess=True, timeout=240,
+                            diseases=["disease name 1"])
+    results = pipe.run_all(only=["error_analysis", "case_studies"])
+    assert results["error_analysis"]["success"], results
+    assert results["case_studies"]["success"], results
+    assert (tmp_path / "error_analysis" /
+            "error_analysis_report.txt").exists()
