@@ -1,4 +1,4 @@
-"""Node-sharded multi-chip RGCN with all-to-all halo exchange.
+"""Node-sharded multi-chip RGCN with overlap-structured halo exchange.
 
 The memory-scaling companion to ``edge_shard.py`` (which replicates node
 features and psums partial aggregates — right at PrimeKG scale, impossible at
@@ -13,10 +13,18 @@ features and psums partial aggregates — right at PrimeKG scale, impossible at
   statically padded request lists) through ONE ``lax.all_to_all`` per layer,
   riding ICI. Per-device traffic is O(halo) — the boundary cut — instead of
   O(N) for replication.
-- Every index (local edge endpoints remapped into [local | halo] slots,
-  serve lists, per-device degree tables) is computed once on the host and
-  stored device-major, so the shard_map body is pure gathers + one
-  collective + sorted segment-sums.
+- **Overlap structure**: every device's edges are pre-split into a
+  LOCAL-source group (both endpoints owned here) and a HALO-source group.
+  The local group's aggregation has no data dependency on the collective,
+  so XLA's async scheduler can run the all_to_all underneath it; only the
+  (typically much smaller) halo group waits for the exchange. A fully
+  Pallas-fused variant with explicit ``make_async_remote_copy`` double
+  buffering is the planned next step (the remote-DMA primitive is already
+  validated in interpret mode, tests/test_node_shard.py).
+- Every index (edge endpoints remapped into local/halo tables, serve lists,
+  per-device degree tables) is computed once on the host and stored
+  device-major, so the shard_map body is pure gathers + one collective +
+  sorted segment-sums.
 
 The backward pass differentiates through the collective (the transpose of
 all_to_all is all_to_all) and the local gathers automatically.
@@ -50,22 +58,30 @@ class NodeShardedGraph(NamedTuple):
     """Device-major node partition + halo metadata.
 
     n_loc: rows per device (last device padded).
-    src_idx: int32[n, E_loc] indices into the extended local feature table
-        ``[x_local (n_loc) | zero sentinel (1) | halo (n*P)]``.
-    dst_idx: int32[n, E_loc] local destination rows (sentinel = n_loc).
-    inv_deg: float32[n, R, n_loc + 1] local reciprocal in-degrees.
+    Local-source group (aggregation independent of the halo exchange):
+        src_local: int32[n, E_l] indices into [x_local (n_loc) | zero (1)].
+        dst_local: int32[n, E_l] local destination rows (sentinel = n_loc).
+        offsets_local: static per-relation offsets along E_l.
+    Halo-source group (waits for the exchange):
+        src_halo: int32[n, E_h] indices into the received halo table
+            [halo rows (n*P) | zero sentinel (1)].
+        dst_halo: int32[n, E_h] local destination rows (sentinel = n_loc).
+        offsets_halo: static per-relation offsets along E_h.
+    inv_deg: float32[n, R, n_loc + 1] local reciprocal in-degrees (over both
+        groups; normalization is linear so it applies to the summed partials).
     serve: int32[n, n, P] local row ids each device serves to each peer
         (sentinel-padded with n_loc -> zero row).
-    rel_offsets: static per-relation offsets into the E_loc axis (uniform
-        across devices).
     halo_width: P (per peer-pair request capacity).
     """
 
-    src_idx: jnp.ndarray
-    dst_idx: jnp.ndarray
+    src_local: jnp.ndarray
+    dst_local: jnp.ndarray
+    src_halo: jnp.ndarray
+    dst_halo: jnp.ndarray
     inv_deg: jnp.ndarray
     serve: jnp.ndarray
-    rel_offsets: Tuple[int, ...]
+    offsets_local: Tuple[int, ...]
+    offsets_halo: Tuple[int, ...]
     n_loc: int
     halo_width: int
     num_nodes: int
@@ -83,63 +99,73 @@ def partition_nodes(graph: RelGraph, n_devices: int,
 
     src_g, dst_g, rel_g = edge_arrays_from_graph(graph)
     owner_dst = dst_g // n_loc
-    owner_src = src_g // n_loc
 
-    # Per-device, per-relation edge lists (dst-local sorted by (rel, dst)).
-    per_dev_edges = []
-    rel_counts = np.zeros((n, r_count), np.int64)
+    # Per-device edge lists sorted by (rel, dst), split by source locality.
+    per_dev = []
+    counts_l = np.zeros((n, r_count), np.int64)
+    counts_h = np.zeros((n, r_count), np.int64)
     for d in range(n):
         mask = owner_dst == d
         s, t, r = src_g[mask], dst_g[mask], rel_g[mask]
         order = np.lexsort((t, r))
-        per_dev_edges.append((s[order], t[order], r[order]))
-        rel_counts[d] = np.bincount(r, minlength=r_count)
+        s, t, r = s[order], t[order], r[order]
+        is_local = s // n_loc == d
+        per_dev.append(((s[is_local], t[is_local], r[is_local]),
+                        (s[~is_local], t[~is_local], r[~is_local])))
+        counts_l[d] = np.bincount(r[is_local], minlength=r_count)
+        counts_h[d] = np.bincount(r[~is_local], minlength=r_count)
 
-    caps = [
-        max(_round_up(int(rel_counts[:, r].max()), pad_multiple), pad_multiple)
-        for r in range(r_count)
-    ]
-    rel_offsets = [0]
-    for c in caps:
-        rel_offsets.append(rel_offsets[-1] + c)
-    e_loc = rel_offsets[-1]
+    def _caps(counts):
+        caps = [max(_round_up(int(counts[:, r].max()), pad_multiple),
+                    pad_multiple) for r in range(r_count)]
+        offsets = [0]
+        for c in caps:
+            offsets.append(offsets[-1] + c)
+        return offsets
+
+    offs_l = _caps(counts_l)
+    offs_h = _caps(counts_h)
+    e_l, e_h = offs_l[-1], offs_h[-1]
 
     # Halo requests: req[d][o] = sorted unique global ids d needs from o.
     req = [[np.zeros(0, np.int64) for _ in range(n)] for _ in range(n)]
     for d in range(n):
-        s = per_dev_edges[d][0]
-        remote = s[s // n_loc != d]
+        remote = per_dev[d][1][0]
         for o in range(n):
             req[d][o] = np.unique(remote[remote // n_loc == o])
     halo_p = max(max((len(req[d][o]) for o in range(n)), default=0)
                  for d in range(n))
     halo_p = max(_round_up(max(halo_p, 1), 8), 8)
 
-    sent_local = n_loc  # zero-row sentinel index in the extended table
-    src_idx = np.full((n, e_loc), sent_local, np.int32)
-    dst_idx = np.full((n, e_loc), n_loc, np.int32)
+    src_local = np.full((n, e_l), n_loc, np.int32)   # sentinel -> zero row
+    dst_local = np.full((n, e_l), n_loc, np.int32)
+    src_halo = np.full((n, e_h), n * halo_p, np.int32)  # halo-table sentinel
+    dst_halo = np.full((n, e_h), n_loc, np.int32)
     inv_deg = np.zeros((n, r_count, n_loc + 1), np.float32)
     serve = np.full((n, n, halo_p), n_loc, np.int32)
 
     for d in range(n):
-        s_all, t_all, r_all = per_dev_edges[d]
-        # Lookup tables: global id -> halo slot (per owner).
+        (ls, lt, lr), (hs, ht, hr) = per_dev[d]
         halo_pos = {}
         for o in range(n):
             for i, gid in enumerate(req[d][o]):
-                halo_pos[gid] = n_loc + 1 + o * halo_p + i
+                halo_pos[gid] = o * halo_p + i
         for r in range(r_count):
-            m = r_all == r
-            s, t = s_all[m], t_all[m]
-            c = len(s)
-            off = rel_offsets[r]
-            local = s // n_loc == d
-            idx = np.where(local, s - d * n_loc,
-                           np.array([halo_pos.get(g, sent_local)
-                                     for g in s]))
-            src_idx[d, off:off + c] = idx
-            dst_idx[d, off:off + c] = t - d * n_loc
-            deg = np.bincount(t - d * n_loc, minlength=n_loc + 1)
+            ml = lr == r
+            c = int(ml.sum())
+            off = offs_l[r]
+            src_local[d, off:off + c] = ls[ml] - d * n_loc
+            dst_local[d, off:off + c] = lt[ml] - d * n_loc
+
+            mh = hr == r
+            ch = int(mh.sum())
+            offh = offs_h[r]
+            src_halo[d, offh:offh + ch] = np.array(
+                [halo_pos[g] for g in hs[mh]], np.int32) if ch else []
+            dst_halo[d, offh:offh + ch] = ht[mh] - d * n_loc
+
+            deg = np.bincount(lt[ml] - d * n_loc, minlength=n_loc + 1) \
+                + np.bincount(ht[mh] - d * n_loc, minlength=n_loc + 1)
             nz = deg > 0
             inv_deg[d, r, nz] = 1.0 / deg[nz]
             inv_deg[d, r, n_loc] = 0.0
@@ -148,11 +174,14 @@ def partition_nodes(graph: RelGraph, n_devices: int,
             serve[o, d, : len(ids)] = ids - o * n_loc
 
     return NodeShardedGraph(
-        src_idx=jnp.asarray(src_idx),
-        dst_idx=jnp.asarray(dst_idx),
+        src_local=jnp.asarray(src_local),
+        dst_local=jnp.asarray(dst_local),
+        src_halo=jnp.asarray(src_halo),
+        dst_halo=jnp.asarray(dst_halo),
         inv_deg=jnp.asarray(inv_deg),
         serve=jnp.asarray(serve),
-        rel_offsets=tuple(rel_offsets),
+        offsets_local=tuple(offs_l),
+        offsets_halo=tuple(offs_h),
         n_loc=n_loc,
         halo_width=halo_p,
         num_nodes=num_nodes,
@@ -161,47 +190,69 @@ def partition_nodes(graph: RelGraph, n_devices: int,
     )
 
 
-def _halo_exchange(x_pad: jnp.ndarray, serve_me: jnp.ndarray,
-                   axis_name: str) -> jnp.ndarray:
-    """One all-to-all: returns [n*P, D] halo rows (peer-major)."""
-    send = jnp.take(x_pad, serve_me, axis=0)          # [n, P, D]
-    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
-                              tiled=True)
-    return recv.reshape(-1, x_pad.shape[1])
-
-
 def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                        sg: NodeShardedGraph, local: dict,
                        axis_name: str) -> jnp.ndarray:
-    """One RGCN layer over this device's node shard (inside shard_map)."""
+    """One RGCN layer over this device's node shard (inside shard_map).
+
+    Issues the halo all_to_all FIRST, aggregates the local-source edge group
+    (independent of the collective, so the scheduler can overlap them), and
+    only then consumes the received halo rows for the halo-source group.
+    """
     n_loc = sg.n_loc
     w_rel = materialize_relation_weights(layer_params)
+    din, dout = w_rel.shape[1], w_rel.shape[2]
     x_pad = jnp.concatenate(
         [x_loc, jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
-    halo = _halo_exchange(x_pad, local["serve"], axis_name)
-    x_ext = jnp.concatenate([x_pad, halo], axis=0)
+
+    # 1) start the exchange
+    send = jnp.take(x_pad, local["serve"], axis=0)        # [n, P, D]
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
+                              tiled=True)
+
+    aggregate_first = din <= dout
+
+    def group_aggregate(table, src, dst, offsets):
+        """Sum over one edge group into [n_loc, Din or Dout] partials."""
+        parts = []
+        for r in range(sg.num_relations):
+            s, e = offsets[r], offsets[r + 1]
+            if e == s:
+                parts.append(None)
+                continue
+            if aggregate_first:
+                msg = jnp.take(table, src[s:e], axis=0)
+            else:
+                msg = jnp.take(table @ w_rel[r], src[s:e], axis=0)
+            parts.append(jax.ops.segment_sum(
+                msg, dst[s:e], num_segments=n_loc + 1,
+                indices_are_sorted=True)[:n_loc])
+        return parts
+
+    # 2) local-source aggregation: no dependency on `recv`
+    parts_local = group_aggregate(x_pad, local["src_local"],
+                                  local["dst_local"], sg.offsets_local)
+
+    # 3) halo-source aggregation (waits for the collective)
+    halo_table = jnp.concatenate(
+        [recv.reshape(-1, x_loc.shape[1]),
+         jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
+    parts_halo = group_aggregate(halo_table, local["src_halo"],
+                                 local["dst_halo"], sg.offsets_halo)
 
     out = x_loc @ layer_params["w_root"] + layer_params["bias"][None, :]
-    din, dout = w_rel.shape[1], w_rel.shape[2]
-    aggregate_first = din <= dout
     for r in range(sg.num_relations):
-        s, e = sg.rel_offsets[r], sg.rel_offsets[r + 1]
-        if e == s:
+        acc = None
+        for p in (parts_local[r], parts_halo[r]):
+            if p is not None:
+                acc = p if acc is None else acc + p
+        if acc is None:
             continue
         inv = local["inv_deg"][r][:n_loc, None]
         if aggregate_first:
-            msg = jnp.take(x_ext, local["src_idx"][s:e], axis=0)
-            agg = jax.ops.segment_sum(msg, local["dst_idx"][s:e],
-                                      num_segments=n_loc + 1,
-                                      indices_are_sorted=True)
-            out = out + (agg[:n_loc] * inv) @ w_rel[r]
+            out = out + (acc * inv) @ w_rel[r]
         else:
-            xw = x_ext @ w_rel[r]
-            msg = jnp.take(xw, local["src_idx"][s:e], axis=0)
-            agg = jax.ops.segment_sum(msg, local["dst_idx"][s:e],
-                                      num_segments=n_loc + 1,
-                                      indices_are_sorted=True)
-            out = out + agg[:n_loc] * inv
+            out = out + acc * inv
     return out
 
 
@@ -227,6 +278,12 @@ def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
     return x
 
 
+def _local_arrays(sg: NodeShardedGraph):
+    return {"src_local": sg.src_local, "dst_local": sg.dst_local,
+            "src_halo": sg.src_halo, "dst_halo": sg.dst_halo,
+            "inv_deg": sg.inv_deg, "serve": sg.serve}
+
+
 def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
                                model_cfg: ModelConfig, *,
                                axis_name: str = "data"):
@@ -243,8 +300,7 @@ def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
                              my_index=my)
         return x[None]  # [1, n_loc, H] -> concatenated over devices
 
-    local_arrays = {"src_idx": sg.src_idx, "dst_idx": sg.dst_idx,
-                    "inv_deg": sg.inv_deg, "serve": sg.serve}
+    local_arrays = _local_arrays(sg)
 
     @jax.jit
     def encode(params):
@@ -328,10 +384,8 @@ def build_node_sharded_train_step(
         return params, opt_state, (loss_sum / jnp.maximum(count, 1.0),
                                    correct / jnp.maximum(count, 1.0))
 
-    local_arrays = {"src_idx": sg.src_idx, "dst_idx": sg.dst_idx,
-                    "inv_deg": sg.inv_deg, "serve": sg.serve}
     sharded = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
-               for k, v in local_arrays.items()}
+               for k, v in _local_arrays(sg).items()}
 
     @jax.jit
     def step(state: TrainState, batch, key):

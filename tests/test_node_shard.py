@@ -42,9 +42,11 @@ def test_partition_metadata():
     # Serve lists reference valid local rows or the sentinel.
     serve = np.asarray(sg.serve)
     assert serve.min() >= 0 and serve.max() <= sg.n_loc
-    # All real edges preserved.
-    dst = np.asarray(sg.dst_idx)
-    assert int((dst < sg.n_loc).sum()) == graph.num_edges
+    # All real edges preserved across the local + halo groups.
+    real_local = int((np.asarray(sg.dst_local) < sg.n_loc).sum())
+    real_halo = int((np.asarray(sg.dst_halo) < sg.n_loc).sum())
+    assert real_local + real_halo == graph.num_edges
+    assert real_local > 0 and real_halo > 0  # both groups exercised
 
 
 def test_node_sharded_encode_matches_single_device():
