@@ -1,0 +1,75 @@
+"""Pallas remote-DMA halo exchange.
+
+A hand-rolled all-to-all over inter-chip DMA (``make_async_remote_copy``) as
+the transport for the node-sharded halo exchange (parallel/node_shard.py).
+Each device pushes the P rows it serves to peer ``o`` directly into slot
+``my_id`` of ``o``'s receive buffer; completion is tracked per-peer, so a
+future variant can interleave waits with per-peer compute (the double-
+buffered overlap pattern from the TPU kernel playbook) instead of the
+bulk-synchronous barrier XLA's ``all_to_all`` imposes.
+
+Validated against ``lax.all_to_all`` in interpret mode on the simulated
+mesh; on hardware the same code lowers to ICI RDMA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _halo_kernel(send_ref, out_ref, send_sem, recv_sem, *, axis_name: str):
+    my = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+
+    # Local slice: copy my own served rows straight into my slot.
+    out_ref[pl.ds(my, 1)] = send_ref[pl.ds(my, 1)]
+
+    def push(i, _):
+        # Peer schedule staggered by my id so the ring is not hot-spotted.
+        peer = jax.lax.rem(my + 1 + i, n)
+
+        @pl.when(peer != my)
+        def _():
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=send_ref.at[pl.ds(peer, 1)],
+                dst_ref=out_ref.at[pl.ds(my, 1)],
+                send_sem=send_sem.at[0],
+                recv_sem=recv_sem.at[0],
+                device_id=peer,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            rdma.start()
+            rdma.wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, push, 0)
+
+
+def pallas_halo_exchange(send: jnp.ndarray, axis_name: str,
+                         *, interpret: bool = False) -> jnp.ndarray:
+    """All-to-all of ``send [n_devices, P, D]`` (must run inside shard_map).
+
+    Returns ``recv [n_devices, P, D]`` where ``recv[o]`` holds what device
+    ``o`` sent to this device — identical semantics to
+    ``lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)``.
+    """
+    if jax.default_backend() == "cpu":
+        interpret = True
+    kernel = functools.partial(_halo_kernel, axis_name=axis_name)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(send.shape, send.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((1,)),
+                        pltpu.SemaphoreType.DMA((1,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                             collective_id=7),
+        interpret=interpret,
+    )(send)

@@ -192,7 +192,8 @@ def partition_nodes(graph: RelGraph, n_devices: int,
 
 def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                        sg: NodeShardedGraph, local: dict,
-                       axis_name: str) -> jnp.ndarray:
+                       axis_name: str, *, halo_impl: str = "xla"
+                       ) -> jnp.ndarray:
     """One RGCN layer over this device's node shard (inside shard_map).
 
     Issues the halo all_to_all FIRST, aggregates the local-source edge group
@@ -207,8 +208,13 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
 
     # 1) start the exchange
     send = jnp.take(x_pad, local["serve"], axis=0)        # [n, P, D]
-    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0,
-                              tiled=True)
+    if halo_impl == "pallas":
+        from primekg_rgcn_tpu.ops.pallas.halo import pallas_halo_exchange
+
+        recv = pallas_halo_exchange(send, axis_name)
+    else:
+        recv = jax.lax.all_to_all(send, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=True)
 
     aggregate_first = din <= dout
 
@@ -258,7 +264,7 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
 
 def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
                      cfg: ModelConfig, axis_name: str, *, train=False,
-                     dropout_rng=None, my_index=None):
+                     dropout_rng=None, my_index=None, halo_impl="xla"):
     enc = params["encoder"]
     # Local slice of the (replicated) embedding table.
     start = my_index * sg.n_loc
@@ -267,14 +273,16 @@ def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
          jnp.zeros((sg.n_loc * sg.n_devices - cfg.num_nodes,
                     cfg.embedding_dim))], axis=0)
     x = jax.lax.dynamic_slice_in_dim(emb_pad, start, sg.n_loc, axis=0)
-    x = node_sharded_layer(enc["conv1"], x, sg, local, axis_name)
+    x = node_sharded_layer(enc["conv1"], x, sg, local, axis_name,
+                           halo_impl=halo_impl)
     x = jax.nn.relu(x)
     if train and cfg.dropout > 0.0 and dropout_rng is not None:
         keep = 1.0 - cfg.dropout
         k = jax.random.fold_in(dropout_rng, my_index)
         mask = jax.random.bernoulli(k, keep, x.shape)
         x = jnp.where(mask, x / keep, 0.0)
-    x = node_sharded_layer(enc["conv2"], x, sg, local, axis_name)
+    x = node_sharded_layer(enc["conv2"], x, sg, local, axis_name,
+                           halo_impl=halo_impl)
     return x
 
 
@@ -286,9 +294,14 @@ def _local_arrays(sg: NodeShardedGraph):
 
 def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
                                model_cfg: ModelConfig, *,
-                               axis_name: str = "data"):
+                               axis_name: str = "data",
+                               halo_impl: str = "xla"):
     """Jitted full-graph encode returning replicated [N, hidden] output
-    (gathered across shards; for parity tests and small-N inference)."""
+    (gathered across shards; for parity tests and small-N inference).
+
+    halo_impl: "xla" (lax.all_to_all) or "pallas" (remote-DMA kernel,
+    ops/pallas/halo.py).
+    """
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
@@ -297,7 +310,7 @@ def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
         local = {k: v[0] for k, v in local_arrays.items()}
         my = jax.lax.axis_index(axis_name)
         x = _sharded_encoder(params, sg, local, model_cfg, axis_name,
-                             my_index=my)
+                             my_index=my, halo_impl=halo_impl)
         return x[None]  # [1, n_loc, H] -> concatenated over devices
 
     local_arrays = _local_arrays(sg)
