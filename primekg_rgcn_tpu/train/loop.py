@@ -123,9 +123,11 @@ def build_train_epoch(
 
     ``train_cfg.steps_per_scan`` > 0 splits the epoch into several jitted
     scan segments (at most two compiled variants: full-size and remainder).
-    The default (0) fuses the whole epoch into one device execution — fastest,
-    but very long single executions can exceed runtime watchdogs on some
-    hosted TPU frontends, where a segment size of a few hundred is safer.
+    The default (0) fuses the whole epoch into one device execution; both
+    modes are validated on the hosted TPU frontend (earlier fused-mode
+    crashes were root-caused to buffer donation, which is auto-disabled
+    there). Segmented mode compiles much faster and allows host-side
+    progress hooks; fused mode minimizes dispatch overhead.
     """
     num_edges = int(edges.shape[0])
     b = train_cfg.batch_size
