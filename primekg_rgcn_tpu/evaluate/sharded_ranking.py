@@ -47,7 +47,7 @@ def build_sharded_ranker(mesh: Mesh, node_emb: jnp.ndarray,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis_name), P(), P(), P(), P()),
-             out_specs=P(), check_vma=False)
+             out_specs=P(), check_vma=True)
     def _rank(emb_local, head_emb, rel_vecs, true_tails, _dummy):
         local = emb_local[0]                      # [n_loc, D]
         my = jax.lax.axis_index(axis_name)

@@ -62,9 +62,17 @@ def pallas_halo_exchange(send: jnp.ndarray, axis_name: str,
     if jax.default_backend() == "cpu":
         interpret = True
     kernel = functools.partial(_halo_kernel, axis_name=axis_name)
+    # Under check_vma=True shard_maps the output aval must carry the same
+    # varying-manual-axes set as the input (the exchange is per-device data).
+    try:
+        vma = jax.typeof(send).vma
+    except Exception:  # outside shard_map / older JAX
+        vma = None
+    out_shape = (jax.ShapeDtypeStruct(send.shape, send.dtype, vma=vma)
+                 if vma else jax.ShapeDtypeStruct(send.shape, send.dtype))
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(send.shape, send.dtype),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((1,)),

@@ -199,7 +199,7 @@ def build_sharded_train_step(
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
              out_specs=(P(), P(), (P(), P())),
-             check_vma=False)
+             check_vma=True)
     def _step(params, opt_state, edge_shard, batch_shard, key, dropout_key):
         # Device-major global arrays [n_dev, ...] arrive as [1, ...] local
         # views inside shard_map; squeeze the leading device axis.
@@ -207,6 +207,13 @@ def build_sharded_train_step(
         batch = batch_shard[0]  # [B/n, 4]
 
         def loss_sums(p):
+            # Promote the replicated params to device-varying explicitly so
+            # the VMA checker (check_vma=True) types the whole loss as
+            # varying and AD's transpose of this pvary psums the per-device
+            # cotangents — i.e. the gradient arrives already globally summed
+            # (no separate grads-psum needed).
+            p = jax.tree_util.tree_map(
+                lambda a: jax.lax.pcast(a, axis_name, to="varying"), p)
             # Fold the device index into the sampling key so negatives differ
             # across shards.
             dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -233,9 +240,9 @@ def build_sharded_train_step(
         (loss_sum, (correct, count)), grads = jax.value_and_grad(
             loss_sums, has_aux=True)(params)
 
-        # Exact global masked-mean gradient: psum the per-device loss-sum
-        # gradients, divide by the global weight count.
-        grads = jax.lax.psum(grads, axis_name)
+        # Exact global masked-mean gradient: the pvary transpose already
+        # psummed the per-device loss-sum gradients (grads are invariant /
+        # replicated totals); divide by the global weight count.
         total_count = jax.lax.psum(count, axis_name)
         grads = jax.tree_util.tree_map(
             lambda g: g / jnp.maximum(total_count, 1.0), grads)
@@ -278,7 +285,7 @@ def build_sharded_forward(
     """Jitted replicated-output full-graph encode over the edge-sharded graph."""
 
     @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
-             out_specs=P(), check_vma=False)
+             out_specs=P(), check_vma=True)
     def _encode(params, edge_shard):
         # shard_map presents the [n_dev, E_local] device-major arrays as
         # [1, E_local] local views; squeeze the leading device axis.

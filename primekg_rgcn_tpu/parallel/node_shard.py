@@ -303,9 +303,13 @@ def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
     ops/pallas/halo.py).
     """
 
+    # check_vma stays on for the XLA collective path; the Pallas halo kernel
+    # trips a JAX interpret-mode discharge bug under the checker ("branches
+    # of cond produced mismatched varying manual axes ... as a temporary
+    # workaround pass check_vma=False"), so only that variant opts out.
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
-             check_vma=False)
+             check_vma=(halo_impl != "pallas"))
     def _encode(params, local_arrays):
         local = {k: v[0] for k, v in local_arrays.items()}
         my = jax.lax.axis_index(axis_name)
@@ -334,40 +338,55 @@ def build_node_sharded_train_step(
 ):
     """Jitted training update over the node-sharded graph.
 
-    ``batch`` is a replicated [B, 4] (head, tail, rel, mask) array. Candidate
-    endpoint embeddings are assembled with one psum of owner-masked local
-    rows (O(B*H) traffic), so no device ever materializes the full embedding
-    matrix.
+    ``batch`` is a [B, 4] (head, tail, rel, mask) array, **split** across the
+    mesh axis (B must divide by the device count; pad with mask=0 rows) —
+    each device samples negatives for and scores only its B/n slice, so
+    decoder/scoring work scales 1/n instead of being replicated. Candidate
+    endpoint embeddings for ALL devices' requests are assembled with one
+    all_gather of the id lists plus one psum of owner-masked local rows
+    (O(B*(1+k)*H) traffic total), so no device ever materializes the full
+    embedding matrix.
     """
     n_dev = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis_name), P(), P()),
+             in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
              out_specs=(P(), P(), (P(), P())),
-             check_vma=False)
-    def _step(params, opt_state, local_arrays, batch, key):
+             check_vma=True)
+    def _step(params, opt_state, local_arrays, batch_shard, key, drop_key):
         local = {k: v[0] for k, v in local_arrays.items()}
+        batch = batch_shard[0]  # [B/n, 4]
         my = jax.lax.axis_index(axis_name)
-        k_neg, k_drop = jax.random.split(key)
 
         def loss_sums(p):
-            # Replicated batch: every device draws the SAME negatives so the
-            # psum-assembled loss is identical everywhere.
+            # Explicit varying-promotion: the transpose of this pcast psums
+            # the per-device cotangents, so grads come back as replicated
+            # global totals (see edge_shard.py).
+            p = jax.tree_util.tree_map(
+                lambda a: jax.lax.pcast(a, axis_name, to="varying"), p)
+            # Per-device batch slice + per-device key -> distinct negatives.
+            dev_key = jax.random.fold_in(key, my)
             heads, tails, rels, labels, weights = candidate_batch(
-                k_neg, batch[:, 0], batch[:, 1], batch[:, 2], sg.num_nodes,
+                dev_key, batch[:, 0], batch[:, 1], batch[:, 2], sg.num_nodes,
                 train_cfg.num_neg_samples, mask=batch[:, 3])
 
             x = _sharded_encoder(p, sg, local, model_cfg, axis_name,
-                                 train=True, dropout_rng=k_drop,
+                                 train=True, dropout_rng=drop_key,
                                  my_index=my)
             x_pad = jnp.concatenate(
                 [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
             def fetch(ids):
-                owner = ids // sg.n_loc
-                loc = jnp.where(owner == my, ids - my * sg.n_loc, sg.n_loc)
-                rows = jnp.take(x_pad, loc, axis=0)
-                return jax.lax.psum(rows, axis_name)
+                # Assemble endpoint rows for EVERY device's request list:
+                # all_gather the ids, serve owner-masked local rows, psum.
+                all_ids = jax.lax.all_gather(ids, axis_name)   # [n, C]
+                owner = all_ids // sg.n_loc
+                loc = jnp.where(owner == my, all_ids - my * sg.n_loc,
+                                sg.n_loc)
+                rows = jnp.take(x_pad, loc, axis=0)            # [n, C, H]
+                full = jax.lax.psum(rows, axis_name)
+                return jax.lax.pcast(
+                    full, axis_name, to="varying")[my]         # my [C, H]
 
             he, te = fetch(heads), fetch(tails)
             re = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)
@@ -377,33 +396,29 @@ def build_node_sharded_train_step(
 
         (loss_sum, (correct, count)), grads = jax.value_and_grad(
             loss_sums, has_aux=True)(params)
-        # Every device computes the SAME loss (the batch is replicated and
-        # endpoint rows are psum-assembled), so decoder gradients come out
-        # full and identical on each device — no collective needed. Encoder
-        # gradients flow through the psum inside ``fetch``, whose VJP psums
-        # the (identical) cotangents: each device holds n x its shard-partial
-        # gradient. psum again to total across shards, then divide the double
-        # counting out. Normalize by the (identical) example count.
-        grads = {
-            "encoder": jax.tree_util.tree_map(
-                lambda g: g / n_dev,
-                jax.lax.psum(grads["encoder"], axis_name)),
-            "decoder": grads["decoder"],
-        }
+        # grads are already the global loss-sum gradient (pcast transpose
+        # psums); normalize by the global masked example count.
+        total_count = jax.lax.psum(count, axis_name)
         grads = jax.tree_util.tree_map(
-            lambda g: g / jnp.maximum(count, 1.0), grads)
+            lambda g: g / jnp.maximum(total_count, 1.0), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, (loss_sum / jnp.maximum(count, 1.0),
-                                   correct / jnp.maximum(count, 1.0))
+        total_loss = jax.lax.psum(loss_sum, axis_name)
+        total_correct = jax.lax.psum(correct, axis_name)
+        return params, opt_state, (
+            total_loss / jnp.maximum(total_count, 1.0),
+            total_correct / jnp.maximum(total_count, 1.0))
 
     sharded = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
                for k, v in _local_arrays(sg).items()}
 
     @jax.jit
     def step(state: TrainState, batch, key):
+        k_neg, k_drop = jax.random.split(key)
+        b = batch.shape[0]
+        batch_dm = batch.reshape(n_dev, b // n_dev, 4)
         params, opt_state, (loss, acc) = _step(
-            state.params, state.opt_state, sharded, batch, key)
+            state.params, state.opt_state, sharded, batch_dm, k_neg, k_drop)
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
 
     return step

@@ -39,8 +39,53 @@ def save(path, payload: Dict[str, Any]) -> None:
         json.dump(meta, f, indent=2)
 
 
+def _is_torch_checkpoint(path: Path) -> bool:
+    """True for a reference ``.pt`` torch pickle (zip or legacy format)."""
+    if path.suffix in (".pt", ".pth"):
+        return path.is_file()
+    if not path.is_file():
+        return False
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+    except OSError:
+        return False
+    # torch.save zip container ("PK") or legacy pickle protocol-2 header.
+    return magic in (b"PK", b"\x80\x02")
+
+
+def _load_torch(path: Path) -> Dict[str, Any]:
+    """Route a reference ``.pt`` through torch_interop into the native
+    payload shape, so evaluate/analyze CLIs load reference checkpoints in one
+    step (the reference's evaluator rebuilds straight from the .pt,
+    reference: src/evaluate.py:655-730)."""
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.torch_interop import import_torch_checkpoint
+
+    params, cfg, meta = import_torch_checkpoint(path)
+    from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+
+    train_cfg = TrainConfig()
+    opt_state = make_optimizer(train_cfg).init(params)
+    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    return {
+        "state": state,
+        "epoch": meta.get("epoch", 0),
+        "best_val_loss": meta.get("best_val_loss", float("inf")),
+        "best_val_acc": meta.get("best_val_acc", 0.0),
+        "history": {"train_losses": [], "val_losses": [],
+                    "train_accs": [], "val_accs": []},
+        "model_config": cfg.to_dict(),
+        "train_config": train_cfg.to_dict(),
+    }
+
+
 def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
-    """Read a checkpoint saved by :func:`save`.
+    """Read a checkpoint saved by :func:`save`, or a reference ``.pt``.
+
+    Torch checkpoints are auto-detected (by suffix or file magic) and
+    imported via torch_interop, so every loader in the framework accepts a
+    reference-trained model directly.
 
     If ``example_state`` (a pytree of the right structure) is given, the
     restored arrays adopt its exact structure/dtypes; otherwise the model is
@@ -48,6 +93,8 @@ def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
     shape-driven reconstruction (reference: src/evaluate.py:672-708).
     """
     path = Path(path)
+    if _is_torch_checkpoint(path):
+        return _load_torch(path)
     if path.suffix in (".msgpack", ".json"):
         path = path.with_suffix("")
     with open(path.with_suffix(".json")) as f:

@@ -60,6 +60,24 @@ def parse_args(argv=None):
                    help="enable neighbor-sampled mini-batch training with "
                         "these per-relation fanouts, outermost layer first "
                         "(e.g. --sample_fanouts 15 10)")
+    # Multi-chip (SURVEY.md §2.4; the reference is single-device only,
+    # reference: src/train.py:758-761)
+    p.add_argument("--shard", choices=["none", "edge", "node"],
+                   default="none",
+                   help="multi-chip layout: edge-partitioned (replicated "
+                        "features + psum) or node-partitioned (halo "
+                        "exchange); none = single device")
+    p.add_argument("--n_devices", type=int, default=0,
+                   help="mesh size for --shard (0 = all visible devices)")
+    p.add_argument("--halo_impl", choices=["xla", "pallas"], default="xla",
+                   help="node-shard halo transport (lax.all_to_all vs "
+                        "remote-DMA Pallas kernel)")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the JAX multi-host runtime "
+                        "(jax.distributed) before building the mesh")
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -193,9 +211,24 @@ def main(argv=None):
         logging.getLogger("train").info("Training completed successfully!")
         return
 
-    trainer = Trainer(model_cfg, train_cfg, train_graph, full_graph,
-                      train_edges, val_edges, args.output_dir,
-                      layer_fn=layer_fn)
+    if args.shard != "none":
+        from primekg_rgcn_tpu.train.multichip import (
+            ShardedTrainer,
+            maybe_initialize_distributed,
+        )
+
+        if args.distributed:
+            maybe_initialize_distributed(args.coordinator_address,
+                                         args.num_processes, args.process_id)
+        trainer = ShardedTrainer(
+            model_cfg, train_cfg, train_graph, full_graph, train_edges,
+            val_edges, args.output_dir, shard=args.shard,
+            n_devices=args.n_devices or None, halo_impl=args.halo_impl,
+            layer_fn=layer_fn)
+    else:
+        trainer = Trainer(model_cfg, train_cfg, train_graph, full_graph,
+                          train_edges, val_edges, args.output_dir,
+                          layer_fn=layer_fn)
     if args.resume:
         trainer.resume(args.resume)
     trainer.train()

@@ -248,8 +248,16 @@ def build_eval_epoch(
     """Compile a validation epoch (no shuffle, no dropout, full-graph encode).
 
     ``graph`` should be the *full* message-passing graph, matching the
-    reference's validate() (src/train.py:388-395).
+    reference's validate() (src/train.py:388-395). Unlike the reference —
+    which re-runs the full-graph encoder for every validation batch
+    (src/train.py:389-395) — eval mode is deterministic (no dropout), so the
+    graph is encoded ONCE per epoch and every batch scores against the cached
+    node embeddings. Results are bit-identical; the epoch costs one encode
+    plus O(edges) scoring instead of n_batches encodes.
     """
+    from primekg_rgcn_tpu.models.rgcn import encoder_apply
+    from primekg_rgcn_tpu.ops.distmult import distmult_score
+
     num_edges = int(edges.shape[0])
     b = train_cfg.batch_size
     n_steps = -(-num_edges // b)
@@ -265,12 +273,27 @@ def build_eval_epoch(
     idx = jnp.asarray(idx)
 
     def eval_fn(params, key):
+        node_emb = encoder_apply(params, graph, model_cfg, train=False,
+                                 layer_fn=layer_fn)
+        rel_table = params["decoder"]["rel_emb"]
+
         def step(stats, inp):
             batch_idx, k = inp
-            loss, (correct, count) = _batch_loss(
-                params, graph, edges_pad, batch_idx, k, model_cfg,
-                train_cfg, train=False, layer_fn=layer_fn)
-            return (stats[0] + loss * count, stats[1] + correct,
+            mask = batch_idx < num_edges
+            batch = jnp.take(edges_pad, batch_idx, axis=0)
+            # Same key split as _batch_loss so the sampled negatives (and
+            # hence the reported val loss) are bit-identical to the
+            # encode-per-batch formulation.
+            k_neg, _ = jax.random.split(k)
+            heads, tails, rels, labels, weights = candidate_batch(
+                k_neg, batch[:, 0], batch[:, 1], batch[:, 2], graph.num_nodes,
+                train_cfg.num_neg_samples, mask=mask)
+            scores = distmult_score(
+                jnp.take(node_emb, heads, axis=0),
+                jnp.take(node_emb, tails, axis=0),
+                jnp.take(rel_table, rels, axis=0))
+            loss_sum, correct, count = bce_stats(scores, labels, weights)
+            return (stats[0] + loss_sum, stats[1] + correct,
                     stats[2] + count), None
 
         keys = jax.random.split(key, n_steps)

@@ -90,18 +90,29 @@ def test_node_sharded_train_step_matches_single_device_grad():
     state = TrainState(p_sh, opt.init(p_sh), jnp.zeros((), jnp.int32))
     state, (loss_sh, acc_sh) = step(state, jnp.asarray(batch), key)
 
-    # Reproduce the same update single-device: same negative-sampling key.
+    # Reproduce the same update single-device. The sharded step splits the
+    # batch across devices and folds the device index into the sampling key,
+    # so rebuild the identical per-device candidate sets here.
     k_neg, k_drop = jax.random.split(key)
     from primekg_rgcn_tpu.train.neg_sampling import sample_negatives
 
-    h, t, r = (jnp.asarray(batch[:, 0]), jnp.asarray(batch[:, 1]),
-               jnp.asarray(batch[:, 2]))
-    nh, nt, nr = sample_negatives(k_neg, h, t, r, cfg.num_nodes, 1)
-    heads = jnp.concatenate([h, nh])
-    tails = jnp.concatenate([t, nt])
-    rels = jnp.concatenate([r, nr])
-    labels = jnp.concatenate([jnp.ones_like(h, jnp.float32),
-                              jnp.zeros_like(nh, jnp.float32)])
+    b_loc = b // n_dev
+    hs, ts, rs, ls = [], [], [], []
+    for d in range(n_dev):
+        sl = batch[d * b_loc:(d + 1) * b_loc]
+        h = jnp.asarray(sl[:, 0])
+        t = jnp.asarray(sl[:, 1])
+        r = jnp.asarray(sl[:, 2])
+        kd = jax.random.fold_in(k_neg, d)
+        nh, nt, nr = sample_negatives(kd, h, t, r, cfg.num_nodes, 1)
+        hs += [h, nh]
+        ts += [t, nt]
+        rs += [r, nr]
+        ls += [jnp.ones_like(h, jnp.float32), jnp.zeros_like(nh, jnp.float32)]
+    heads = jnp.concatenate(hs)
+    tails = jnp.concatenate(ts)
+    rels = jnp.concatenate(rs)
+    labels = jnp.concatenate(ls)
 
     def loss_fn(p):
         scores = model_apply(p, graph, heads, tails, rels, cfg, train=False)

@@ -106,3 +106,20 @@ def test_interop_cli(tmp_path):
     blob = torch.load(tmp_path / "back.pt", weights_only=False)
     assert "encoder.conv1.weight" in blob["model_state_dict"]
     assert blob["args"].hidden_dim == 16
+
+
+def test_ckpt_load_auto_detects_torch_pt(tmp_path):
+    """ckpt.load on a reference .pt routes through torch_interop in one step
+    (reference evaluator rebuilds straight from the .pt,
+    reference: src/evaluate.py:655-730)."""
+    from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
+
+    path = tmp_path / "best_model.pt"
+    sd = _reference_style_checkpoint(path)
+    payload = ckpt_lib.load(path)
+    assert payload["epoch"] == 7
+    cfg_d = payload["model_config"]
+    assert cfg_d["num_nodes"] == 50 and cfg_d["hidden_dim"] == 16
+    np.testing.assert_allclose(
+        np.asarray(payload["state"].params["encoder"]["node_emb"]),
+        sd["encoder.node_embeddings.weight"].numpy())
