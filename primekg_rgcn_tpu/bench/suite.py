@@ -162,6 +162,26 @@ def bench_sampled(fanouts=(15, 10)) -> Dict:
                 tcfg.batch_size / dt / BASELINE_EDGES_PER_S, 2)}
 
 
+def bench_primekg_full(scale=1.0) -> Dict:
+    """BASELINE.json config 3: FULL PrimeKG (~129K nodes, 30 relations,
+    ~4.5M directed edges) — stresses per-relation bucketing at realistic
+    skew (bucket sizes span 1.2K..800K rows)."""
+    from primekg_rgcn_tpu.data.synthetic import bidirect, primekg_full_like
+
+    raw = primekg_full_like(seed=0, scale=scale)
+    src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
+    step, b = _full_batch_config(
+        graph_override=(src, dst, rel, raw["num_nodes"],
+                        raw["num_relations"]))
+    dt = _timed_steps(step, 10)
+    return {"step_ms": round(dt * 1e3, 2),
+            "nodes": int(raw["num_nodes"]),
+            "relations": int(raw["num_relations"]),
+            "edges": int(len(src)),
+            "edges_per_s": round(b / dt, 1),
+            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2)}
+
+
 def bench_rmat(num_nodes=500_000, num_edges=5_000_000, num_relations=10) -> Dict:
     from primekg_rgcn_tpu.data.synthetic import rmat
     from primekg_rgcn_tpu import native
@@ -212,6 +232,7 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "primekg-bf16": lambda: bench_full_batch(compute_dtype="bfloat16"),
     "primekg-xla": lambda: bench_full_batch(impl="xla"),
     "sampled-15-10": lambda: bench_sampled((15, 10)),
+    "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),
 }

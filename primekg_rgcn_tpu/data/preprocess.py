@@ -45,11 +45,18 @@ class PrimeKGPreprocessor:
     (reference: src/preprocess.py:40-451)."""
 
     def __init__(self, raw_data_path: str, processed_data_path: str,
-                 *, write_torch: bool = True):
+                 *, write_torch: bool = True,
+                 keep_all_relations: bool = False):
         self.raw_data_path = Path(raw_data_path)
         self.processed_data_path = Path(processed_data_path)
         self.processed_data_path.mkdir(parents=True, exist_ok=True)
         self.write_torch = write_torch
+        # BASELINE.json config 3 (full PrimeKG, ~129K nodes / ~30 relations):
+        # skip the reference's 3-relation / 3-node-type filter
+        # (reference: src/preprocess.py:56-65) and keep every row. The trio
+        # still gets the standardized names so the drug-gene split target is
+        # identical in both modes; all other relations pass through verbatim.
+        self.keep_all_relations = keep_all_relations
         self.node2idx: Dict[Tuple[str, str], int] = {}
         self.idx2node: Dict[int, Tuple[str, str, str]] = {}
         self.relation2idx: Dict[str, int] = {}
@@ -66,11 +73,17 @@ class PrimeKGPreprocessor:
         return df
 
     def filter_subgraph(self, df: pd.DataFrame) -> pd.DataFrame:
-        mask = (df["x_type"].isin(TARGET_NODE_TYPES)
-                & df["y_type"].isin(TARGET_NODE_TYPES)
-                & df["relation"].isin(RELATION_STANDARDIZATION))
-        out = df[mask].copy()
-        out["relation_standard"] = out["relation"].map(RELATION_STANDARDIZATION)
+        if self.keep_all_relations:
+            out = df.copy()
+            out["relation_standard"] = out["relation"].map(
+                RELATION_STANDARDIZATION).fillna(out["relation"])
+        else:
+            mask = (df["x_type"].isin(TARGET_NODE_TYPES)
+                    & df["y_type"].isin(TARGET_NODE_TYPES)
+                    & df["relation"].isin(RELATION_STANDARDIZATION))
+            out = df[mask].copy()
+            out["relation_standard"] = out["relation"].map(
+                RELATION_STANDARDIZATION)
         self.stats["filtered_edges"] = len(out)
         self.stats["filtered_relations"] = out["relation_standard"].nunique()
         logger.info("Filtered to %d rows", len(out))
@@ -97,7 +110,7 @@ class PrimeKGPreprocessor:
         self.relation2idx = {r: i for i, r in enumerate(rels)}
         self.idx2relation = {i: r for i, r in enumerate(rels)}
 
-        for t in TARGET_NODE_TYPES:
+        for t in sorted(nodes["type"].unique()):
             self.stats[f"num_{t}_nodes"] = int((nodes["type"] == t).sum())
         for r in rels:
             self.stats[f"num_{r}_edges"] = int(
@@ -223,6 +236,11 @@ def main(argv: Optional[list] = None):
     p.add_argument("--test-ratio", type=float, default=0.15)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--target-relation", default="drug-gene")
+    p.add_argument("--keep-all-relations", action="store_true",
+                   help="skip the 3-relation/3-node-type filter and keep the "
+                        "FULL knowledge graph (~129K nodes, ~30 relations); "
+                        "the drug-gene trio still gets standardized names so "
+                        "the split target is unchanged")
     p.add_argument("--no-torch", action="store_true",
                    help="write only the native .npz/.json artifacts")
     args = p.parse_args(argv)
@@ -232,7 +250,8 @@ def main(argv: Optional[list] = None):
 
     logging.basicConfig(level=logging.INFO)
     pp = PrimeKGPreprocessor(args.raw_data, args.processed_dir,
-                             write_torch=not args.no_torch)
+                             write_torch=not args.no_torch,
+                             keep_all_relations=args.keep_all_relations)
     pp.process(args.train_ratio, args.val_ratio, args.test_ratio, args.seed,
                args.target_relation)
 

@@ -14,13 +14,22 @@ This module adds the capability TPU-first (BASELINE.json config 4: fanout
   mode) or the first min(deg, f) neighbors ("truncate" mode — deterministic,
   and exactly equal to full-graph aggregation when f >= max degree, which is
   the correctness anchor the tests pin).
-- Everything is statically shaped: layer l has exactly
-  M_{l+1} * (1 + R * f_l) frontier slots and M * f padded edge slots per
-  relation; invalid slots point at a sentinel position whose features are
+- **Static-capacity frontier dedup.** A raw 2-layer frontier explodes
+  multiplicatively (a 4,096-seed batch at fanout 15/10 x 3 relations is
+  ~5.8M raw slots) while the number of DISTINCT nodes is bounded by
+  min(raw, N+1) — hub repetition makes the gap enormous on power-law
+  graphs. Each layer's frontier is deduplicated on device with
+  ``jnp.unique(..., size=cap, fill_value=N)`` (sort-based, static shape);
+  every pick is remapped to its unique row via the inverse indices. The
+  embedding gather and all intermediate feature tensors then scale with
+  unique-node counts (<= N+1) instead of raw slot counts — the fix that
+  took the sampled step from 0.42x to >1x of the full-batch baseline.
+- Everything is statically shaped: capacities are compile-time constants;
+  invalid slots point at the sentinel id ``num_nodes`` whose features are
   zero and whose count weight is zero.
 
-A sampled 2-layer step gathers only the frontier's embedding rows — O(B * f^2)
-work instead of O(E) — which is what makes 100M-edge graphs trainable.
+A sampled 2-layer step touches O(unique(B * f^2)) embedding rows instead of
+O(E) — which is what makes 100M-edge graphs trainable.
 """
 
 from __future__ import annotations
@@ -32,6 +41,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from primekg_rgcn_tpu.data.graph import RelGraph
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 class CsrCache(NamedTuple):
@@ -70,16 +83,22 @@ def build_csr_cache(graph: RelGraph) -> CsrCache:
 class SampledBlock(NamedTuple):
     """One message-passing layer over a sampled bipartite block.
 
-    For an output frontier of M nodes and fanout f per relation:
-    src_local: int32[R, M, f] indices into the *input* frontier
-        (position-coded: input frontier layout is
-        [out_frontier (M), nbrs_r0 (M*f), nbrs_r1 (M*f), ...]);
-        invalid slots hold the input-frontier sentinel M_in.
+    For an output frontier of M nodes and fanout f per relation, with the
+    input frontier DEDUPLICATED to a static capacity ``m_in``:
+    src_local: int32[R, M, f] rows of the deduped input table holding each
+        pick (sentinel picks map to the zero row automatically — the
+        sentinel id is itself a table entry).
+    self_idx: int32[M] row of the deduped input table holding each output
+        node's own features (for the root/self transform).
+    out_ids: int32[M] global node ids of the output frontier (sentinel =
+        num_nodes; used to zero bias leakage on padded rows).
     inv_cnt: float32[R, M] reciprocal of the number of valid samples.
-    m_out / m_in: static frontier sizes (excluding sentinels).
+    m_out / m_in: static frontier sizes (m_in = input table capacity).
     """
 
     src_local: jnp.ndarray
+    self_idx: jnp.ndarray
+    out_ids: jnp.ndarray
     inv_cnt: jnp.ndarray
     m_out: int
     m_in: int
@@ -88,27 +107,30 @@ class SampledBlock(NamedTuple):
 class SampledBatch(NamedTuple):
     """Input to a sampled encoder pass.
 
-    frontier: int32[M0] global node ids feeding the embedding table
+    frontier: int32[M0] deduped global node ids feeding the embedding table
         (sentinel slots hold num_nodes).
-    blocks: innermost-first list; blocks[-1] outputs the seed embeddings.
-    seeds are the first ``blocks[-1].m_out`` entries of every frontier.
+    blocks: innermost-first list; blocks[-1] outputs the seed-table rows.
+    seed_gather: int32[num_seeds] rows of the top-level (deduped seed)
+        table holding each original seed, in seed order.
     """
 
     frontier: jnp.ndarray
     blocks: Tuple[SampledBlock, ...]
+    seed_gather: jnp.ndarray
+
+
+def _unique_cap(raw_len: int, num_nodes: int) -> int:
+    """Static dedup capacity: distinct ids can't exceed N+1 (incl sentinel)."""
+    return min(_round_up(raw_len, 64), _round_up(num_nodes + 1, 64))
 
 
 def _sample_layer(key, csr: CsrCache, frontier: jnp.ndarray, fanout: int,
-                  mode: str) -> Tuple[jnp.ndarray, SampledBlock]:
-    """Expand one layer: returns (new_frontier, block).
-
-    frontier: int32[M] global ids (sentinel = num_nodes).
-    new_frontier layout: [frontier, nbr_r0.flat, nbr_r1.flat, ...].
-    """
+                  mode: str) -> Tuple[jax.Array, jnp.ndarray, SampledBlock]:
+    """Expand one layer: returns (key, new_frontier (deduped), block)."""
     m = frontier.shape[0]
+    n = csr.num_nodes
     r_count = csr.num_relations
-    nbr_ids = []
-    src_local = []
+    picks_flat = []
     inv_cnt = []
     for r in range(r_count):
         start = jnp.take(csr.row_start[r], frontier)
@@ -126,23 +148,23 @@ def _sample_layer(key, csr: CsrCache, frontier: jnp.ndarray, fanout: int,
             n_valid = jnp.minimum(count, fanout)
         pos = start[:, None] + jnp.minimum(idx, jnp.maximum(count[:, None] - 1, 0))
         picks = jnp.take(csr.col[r], pos)           # [M, f] global ids
-        picks = jnp.where(valid, picks, csr.num_nodes)
-        nbr_ids.append(picks.reshape(-1))
-        # Input-frontier position of each pick: layout is
-        # [frontier (m), picks_r0 (m*f), picks_r1 (m*f), ...].
-        base = m + r * m * fanout
-        local = base + jnp.arange(m * fanout, dtype=jnp.int32)
-        src_local.append(local.reshape(m, fanout))
+        picks = jnp.where(valid, picks, n)
+        picks_flat.append(picks.reshape(-1))
         inv_cnt.append(jnp.where(n_valid > 0, 1.0 / n_valid, 0.0))
 
-    new_frontier = jnp.concatenate([frontier] + nbr_ids)
+    raw = jnp.concatenate([frontier] + picks_flat)   # [M * (1 + R*f)]
+    cap = _unique_cap(int(raw.shape[0]), n)
+    uniq, inv = jnp.unique(raw, return_inverse=True, size=cap, fill_value=n)
+    inv = inv.astype(jnp.int32)
     block = SampledBlock(
-        src_local=jnp.stack(src_local),       # [R, M, f]
+        src_local=inv[m:].reshape(r_count, m, fanout),
+        self_idx=inv[:m],
+        out_ids=frontier,
         inv_cnt=jnp.stack(inv_cnt),           # [R, M]
         m_out=m,
-        m_in=int(new_frontier.shape[0]),
+        m_in=cap,
     )
-    return key, new_frontier, block
+    return key, uniq, block
 
 
 def sample_batch(key: jax.Array, csr: CsrCache, seeds: jnp.ndarray,
@@ -154,32 +176,33 @@ def sample_batch(key: jax.Array, csr: CsrCache, seeds: jnp.ndarray,
     relation for the output layer and 10 for the layer below, mirroring the
     config in BASELINE.json). Jit-safe for fixed seed count.
     """
-    frontier = seeds.astype(jnp.int32)
+    seeds = seeds.astype(jnp.int32)
+    cap0 = _unique_cap(int(seeds.shape[0]), csr.num_nodes)
+    frontier, seed_gather = jnp.unique(
+        seeds, return_inverse=True, size=cap0, fill_value=csr.num_nodes)
+    seed_gather = seed_gather.astype(jnp.int32)
     blocks: List[SampledBlock] = []
     for f in fanouts:
         key, frontier, block = _sample_layer(key, csr, frontier, int(f), mode)
         blocks.append(block)
-    return SampledBatch(frontier=frontier, blocks=tuple(reversed(blocks)))
+    return SampledBatch(frontier=frontier, blocks=tuple(reversed(blocks)),
+                        seed_gather=seed_gather)
 
 
 def block_aggregate(layer_params, x_in: jnp.ndarray, block: SampledBlock,
                     materialize_fn) -> jnp.ndarray:
     """Apply one RGCN layer over a sampled block.
 
-    x_in: [M_in + 1, Din] input-frontier features with a trailing zero
-    sentinel row. Returns [M_out, Dout].
+    x_in: [M_in, Din] deduped input-table features (sentinel rows zero).
+    Returns [M_out, Dout].
     """
     w_rel = materialize_fn(layer_params)   # [R, Din, Dout]
     w_root = layer_params["w_root"]
     bias = layer_params["bias"]
     r_count, m, fanout = block.src_local.shape
-    out = x_in[:m] @ w_root + bias[None, :]
+    out = jnp.take(x_in, block.self_idx, axis=0) @ w_root + bias[None, :]
     for r in range(r_count):
-        # The input-frontier layout is [frontier (m), picks_r0 (m*f), ...],
-        # so relation r's neighbor rows are a CONTIGUOUS slice — no gather
-        # (and, crucially, no unsorted scatter-add in the backward).
-        base = m + r * m * fanout
-        nbr = jax.lax.slice_in_dim(x_in, base, base + m * fanout, axis=0)
+        nbr = jnp.take(x_in, block.src_local[r].reshape(-1), axis=0)
         nbr = nbr.reshape(m, fanout, x_in.shape[1])       # [M, f, Din]
         mean = nbr.sum(axis=1) * block.inv_cnt[r][:, None]
         out = out + mean @ w_rel[r]

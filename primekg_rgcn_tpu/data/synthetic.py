@@ -143,6 +143,98 @@ def primekg_like(
     }
 
 
+# Full (unfiltered) PrimeKG stand-in: BASELINE.json config 3 — ~129K nodes,
+# ~30 relation types, ~4.5M directed edges. The reference repo ships neither
+# the raw kg.csv nor the full graph, so the generator approximates the public
+# PrimeKG type/relation census (node-type sizes sum to 129,375; undirected
+# row counts below sum to ~2.26M -> ~4.5M directed after bidirect) with the
+# same power-law endpoint skew as primekg_like. What matters for the bench is
+# the SHAPE: 12 node types' worth of id ranges, 30 relation buckets spanning
+# 4 orders of magnitude (1.2K .. 800K rows) — exactly the per-relation
+# bucketing stress the config exists to measure.
+PRIMEKG_FULL_TYPE_SIZES = {
+    "gene/protein": 27671, "drug": 7957, "disease": 17080,
+    "anatomy": 14035, "biological_process": 28642,
+    "molecular_function": 11169, "cellular_component": 4176,
+    "pathway": 2516, "effect/phenotype": 15311, "exposure": 818,
+}
+PRIMEKG_FULL_RELATIONS = (
+    # (name, src_type, dst_type, undirected rows)
+    ("anatomy_protein_present", "anatomy", "gene/protein", 800_000),
+    ("protein_protein", "gene/protein", "gene/protein", 321_075),
+    ("drug_drug", "drug", "drug", 300_000),
+    ("bioprocess_protein", "biological_process", "gene/protein", 180_000),
+    ("cellcomp_protein", "cellular_component", "gene/protein", 90_000),
+    ("disease_phenotype_positive", "disease", "effect/phenotype", 90_000),
+    ("disease_protein", "disease", "gene/protein", 80_411),
+    ("molfunc_protein", "molecular_function", "gene/protein", 70_000),
+    ("bioprocess_bioprocess", "biological_process", "biological_process",
+     60_000),
+    ("drug_effect", "drug", "effect/phenotype", 50_000),
+    ("pathway_protein", "pathway", "gene/protein", 40_000),
+    ("disease_disease", "disease", "disease", 35_000),
+    ("anatomy_anatomy", "anatomy", "anatomy", 30_000),
+    ("contraindication", "drug", "disease", 30_000),
+    ("drug_protein", "drug", "gene/protein", 25_653),
+    ("phenotype_phenotype", "effect/phenotype", "effect/phenotype", 25_000),
+    ("anatomy_protein_absent", "anatomy", "gene/protein", 20_000),
+    ("indication", "drug", "disease", 18_000),
+    ("molfunc_molfunc", "molecular_function", "molecular_function", 13_000),
+    ("phenotype_protein", "effect/phenotype", "gene/protein", 6_000),
+    ("cellcomp_cellcomp", "cellular_component", "cellular_component", 4_000),
+    ("off_label_use", "drug", "disease", 2_500),
+    ("pathway_pathway", "pathway", "pathway", 2_500),
+    ("exposure_disease", "exposure", "disease", 2_000),
+    ("exposure_exposure", "exposure", "exposure", 1_500),
+    ("exposure_bioprocess", "exposure", "biological_process", 1_500),
+    ("exposure_protein", "exposure", "gene/protein", 1_200),
+    ("disease_phenotype_negative", "disease", "effect/phenotype", 1_000),
+    ("exposure_molfunc", "exposure", "molecular_function", 300),
+    ("exposure_cellcomp", "exposure", "cellular_component", 200),
+)
+
+
+def primekg_full_like(seed: int = 0, scale: float = 1.0,
+                      *, alpha: float = 2.5) -> Dict[str, np.ndarray]:
+    """Full-PrimeKG-shaped graph: 129,375*scale nodes, 30 relations,
+    ~2.26M*scale^2 undirected rows (~4.5M*scale^2 directed after bidirect).
+
+    Same return contract as :func:`primekg_like` (undirected rows + type
+    ranges); relation ids follow sorted(name) order like the reference's
+    mapping build (reference: src/preprocess.py:166-169).
+    """
+    rng = np.random.default_rng(seed)
+    ranges: Dict[str, Tuple[int, int]] = {}
+    lo = 0
+    # Sorted type order mirrors the reference's (type, id, name) node sort.
+    for t in sorted(PRIMEKG_FULL_TYPE_SIZES):
+        n_t = max(int(PRIMEKG_FULL_TYPE_SIZES[t] * scale), 4)
+        ranges[t] = (lo, lo + n_t)
+        lo += n_t
+    num_nodes = lo
+
+    names = sorted(r[0] for r in PRIMEKG_FULL_RELATIONS)
+    rel_id = {n: i for i, n in enumerate(names)}
+    rows_src, rows_dst, rows_rel = [], [], []
+    for name, st, dt, rows in PRIMEKG_FULL_RELATIONS:
+        n_rows = max(int(rows * scale * scale), 8)
+        s = _sample_powerlaw_endpoints(rng, n_rows, *ranges[st], alpha)
+        d = _sample_powerlaw_endpoints(rng, n_rows, *ranges[dt], alpha)
+        rows_src.append(s)
+        rows_dst.append(d)
+        rows_rel.append(np.full(n_rows, rel_id[name], dtype=np.int64))
+
+    return {
+        "src": np.concatenate(rows_src),
+        "dst": np.concatenate(rows_dst),
+        "rel": np.concatenate(rows_rel),
+        "num_nodes": num_nodes,
+        "num_relations": len(names),
+        "relation_names": tuple(names),
+        "type_ranges": ranges,
+    }
+
+
 def bidirect(src: np.ndarray, dst: np.ndarray, rel: np.ndarray
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Add a reverse edge with the same relation id for every row.
