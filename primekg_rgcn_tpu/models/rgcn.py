@@ -181,8 +181,10 @@ def encoder_apply_sampled(
     The reference has no sampled path (its README lists mini-batch sampling
     as unimplemented); semantics here: per-relation mean over the *sampled*
     neighbors (the standard unbiased estimator), same root/bias/ReLU/dropout
-    structure as the full-graph encoder. Returns [num_seeds, hidden_dim]
-    embeddings for the first ``blocks[-1].m_out`` frontier entries.
+    structure as the full-graph encoder. Frontiers are deduplicated
+    (data/sampling.py), so every intermediate tensor scales with unique-node
+    counts; returns [num_seeds, hidden_dim] embeddings in seed order (via
+    ``batch.seed_gather``).
     """
     from primekg_rgcn_tpu.data.sampling import block_aggregate
     from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
@@ -192,7 +194,6 @@ def encoder_apply_sampled(
     emb_pad = jnp.concatenate(
         [enc["node_emb"], jnp.zeros((1, cfg.embedding_dim))], axis=0)
     x = jnp.take(emb_pad, batch.frontier, axis=0)   # zeros at sentinels
-    frontier = batch.frontier
 
     layers = [enc["conv1"], enc["conv2"]]
     if len(batch.blocks) != len(layers):
@@ -201,11 +202,9 @@ def encoder_apply_sampled(
 
     for li, (layer, block) in enumerate(zip(layers, batch.blocks)):
         x = block_aggregate(layer, x, block, materialize_relation_weights)
-        # Invalid frontier slots must stay exactly zero (the bias would
-        # otherwise leak into higher layers through their sampled picks).
-        out_ids = frontier[: block.m_out]
-        x = jnp.where((out_ids == n)[:, None], 0.0, x)
-        frontier = out_ids
+        # Sentinel rows must stay exactly zero (the bias would otherwise
+        # leak into higher layers through their sampled picks).
+        x = jnp.where((block.out_ids == n)[:, None], 0.0, x)
         if li < len(layers) - 1:
             x = jax.nn.relu(x)
             if train and cfg.dropout > 0.0:
@@ -215,7 +214,7 @@ def encoder_apply_sampled(
                 keep = 1.0 - cfg.dropout
                 mask = jax.random.bernoulli(k, keep, x.shape)
                 x = jnp.where(mask, x / keep, 0.0)
-    return x
+    return jnp.take(x, batch.seed_gather, axis=0)
 
 
 # ============================================================================
