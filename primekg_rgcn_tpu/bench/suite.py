@@ -86,9 +86,19 @@ def _full_batch_config(num_bases=None, compute_dtype="float32", impl="auto",
     edges_pad = jnp.asarray(np.concatenate([edges, np.zeros((1, 3), np.int32)]))
     layer_fn = functools.partial(rgcn_layer_segment,
                                  impl="xla" if impl == "xla" else "auto")
+    # Auto-restricted final layer: picked up by large graphs (primekg-full
+    # is a measured 1.71x), skipped at north-star scale where it loses.
+    final_plan = None
+    if impl != "xla":
+        from primekg_rgcn_tpu.ops.rgcn_final_layer import resolve_final_plan
+
+        final_plan = resolve_final_plan(
+            graph, edges, train_cfg.batch_size, train_cfg.num_neg_samples,
+            seed=train_cfg.seed, mode=train_cfg.restrict_final)
     grad_fn = jax.value_and_grad(
         lambda p, bi, k: _batch_loss(p, graph, edges_pad, bi, k, model_cfg,
-                                     train_cfg, train=True, layer_fn=layer_fn),
+                                     train_cfg, train=True, layer_fn=layer_fn,
+                                     final_plan=final_plan),
         has_aux=True)
 
     @jax.jit
@@ -249,6 +259,14 @@ def main(argv=None):
     report = {"device": str(jax.devices()[0]),
               "baseline_edges_per_s": round(BASELINE_EDGES_PER_S, 1),
               "results": {}}
+    # Partial runs (--configs a b) merge into an existing report instead of
+    # clobbering the other configs' entries.
+    try:
+        with open(args.out) as f:
+            prev = json.load(f)
+        report["results"].update(prev.get("results", {}))
+    except (OSError, ValueError):
+        pass
     for name in args.configs:
         print(f"== {name} ==", flush=True)
         try:

@@ -69,6 +69,16 @@ class TrainConfig:
     # Implementation of the message-passing op: "segment" (XLA gather +
     # segment_sum), "dense" (oracle, small graphs only), "pallas".
     impl: str = "segment"
+    # TPU-specific: evaluate the final RGCN layer only at the batch's
+    # head/tail rows (mathematically exact — see ops/rgcn_final_layer.py).
+    # "auto" (default) enables it only when the graph's edge count is >= 6x
+    # the batch neighborhood's static capacity: measured on v5e it LOSES at
+    # north-star scale (1.7M edges, ratio 3.5: 26.6 vs 24.9 ms/step — the
+    # dynamic bookkeeping + uncompacted gathers cost more than the Pallas
+    # full-graph layer saves) but WINS 1.71x at full-PrimeKG scale (4.6M
+    # edges, ratio 7.4: 128 vs 220 ms/step). "on"/"off" (or True/False)
+    # force either path; docs/KERNELS.md records the measurements.
+    restrict_final: Any = "auto"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -121,21 +121,52 @@ def model_apply(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     layer_fn=rgcn_layer_segment,
+    final_plan=None,
 ) -> jnp.ndarray:
     """Training forward: encode the whole graph, score a triple batch.
 
     Mirrors DrugDiseaseModel.forward (reference: src/models/rgcn.py:300-331):
     the encoder runs over the **entire** message-passing graph for every batch
     and gradients flow through it.
+
+    ``final_plan`` (an ``ops.rgcn_final_layer.FinalLayerPlan``) switches the
+    final conv to the batch-restricted evaluation: only the heads'/tails' rows
+    are aggregated — mathematically identical (the loss reads nothing else)
+    but ~4x less final-layer work. Requires the default ``layer_fn``.
     """
     enc_rng = dec_rng = None
     if train and dropout_rng is not None:
         enc_rng, dec_rng = jax.random.split(dropout_rng)
-    node_emb = encoder_apply(
-        params, graph, cfg, train=train, dropout_rng=enc_rng, layer_fn=layer_fn
-    )
-    head_emb = jnp.take(node_emb, heads, axis=0)
-    tail_emb = jnp.take(node_emb, tails, axis=0)
+    if final_plan is not None:
+        from primekg_rgcn_tpu.ops.rgcn_final_layer import final_layer_restricted
+
+        enc = params["encoder"]
+        compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                         else jnp.float32)
+        x = layer_fn(enc["conv1"], enc["node_emb"], graph,
+                     compute_dtype=compute_dtype)
+        x = jax.nn.relu(x)
+        if train and cfg.dropout > 0.0:
+            if enc_rng is None:
+                raise ValueError("dropout_rng required when train=True")
+            keep = 1.0 - cfg.dropout
+            mask = jax.random.bernoulli(enc_rng, keep, x.shape)
+            x = jnp.where(mask, x / keep, 0.0)
+        x_pad = jnp.concatenate(
+            [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+        nodes = jnp.concatenate([heads, tails])
+        out = final_layer_restricted(
+            enc["conv2"], x_pad, graph, final_plan, nodes,
+            compute_dtype=compute_dtype)
+        head_emb = out[: heads.shape[0]]
+        tail_emb = out[heads.shape[0]:]
+    else:
+        node_emb = encoder_apply(
+            params, graph, cfg, train=train, dropout_rng=enc_rng,
+            layer_fn=layer_fn
+        )
+        head_emb = jnp.take(node_emb, heads, axis=0)
+        tail_emb = jnp.take(node_emb, tails, axis=0)
     rel_emb = jnp.take(params["decoder"]["rel_emb"], rels, axis=0)
     if train and cfg.decoder_dropout > 0.0:
         if dec_rng is None:

@@ -143,6 +143,74 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
     return f
 
 
+def build_layer_agg_ops(
+    graph: RelGraph,
+    *,
+    compute_dtype: jnp.dtype = jnp.float32,
+    impl: str = "auto",
+):
+    """Per-relation fused gather+segment-sum ops for one layer application.
+
+    Returned as a list indexed by relation (``None`` for empty buckets).
+    Building the ops is separated from applying them so callers can hoist op
+    construction outside ``lax.cond`` branches: a ``custom_vjp`` op *created*
+    inside a cond branch leaks branch tracers into the cond lowering under
+    vjp, while merely *calling* a prebuilt op is fine.
+    """
+    n = graph.num_nodes
+    # When the graph is a trace-time constant (the normal case: it is closed
+    # over by the jitted step), slice the index arrays on the HOST and keep
+    # them as NUMPY in the op closures. This (a) lets the Pallas path
+    # precompute its chunk schedule, and (b) keeps the closures free of
+    # tracers even when this builder runs under an active trace: ANY jnp op
+    # under tracing — including jnp.asarray(np_array) — returns a
+    # DynamicJaxprTracer, and a custom_vjp closing over one cannot be called
+    # inside a lax.cond branch (the branch jaxpr would capture an outer-trace
+    # tracer as a constant, which fails to lower under vjp). Numpy constants
+    # lift cleanly at each call site instead.
+    try:
+        src_h = np.asarray(graph.src)
+        dst_h = np.asarray(graph.dst)
+        tsrc_h = np.asarray(graph.t_src)
+        tdst_h = np.asarray(graph.t_dst)
+    except Exception:
+        src_h = dst_h = tsrc_h = tdst_h = None
+
+    edge_norm = graph.norm_mode == "edge"
+    scale_h = t_scale_h = None
+    if edge_norm and dst_h is not None:
+        try:
+            scale_h = np.asarray(graph.edge_scale)
+            t_scale_h = np.asarray(graph.t_edge_scale)
+        except Exception:
+            scale_h = t_scale_h = None
+    ops = []
+    for r in range(graph.num_relations):
+        s, e = graph.bucket_slice(r)
+        if e == s:
+            ops.append(None)
+            continue
+        if dst_h is None:
+            src, dst = graph.src[s:e], graph.dst[s:e]
+            t_src, t_dst = graph.t_src[s:e], graph.t_dst[s:e]
+        else:
+            src, dst = src_h[s:e], dst_h[s:e]
+            t_src, t_dst = tsrc_h[s:e], tdst_h[s:e]
+        ops.append(make_gather_segment_sum(
+            src, dst, t_src, t_dst, n + 1,
+            impl=impl,
+            mxu_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                       else jnp.float32),
+            dst_host=None if dst_h is None else dst_h[s:e],
+            t_src_host=None if tsrc_h is None else tsrc_h[s:e],
+            scale=((graph.edge_scale[s:e] if scale_h is None
+                    else scale_h[s:e]) if edge_norm else None),
+            t_scale=((graph.t_edge_scale[s:e] if t_scale_h is None
+                      else t_scale_h[s:e]) if edge_norm
+                     else None)))
+    return ops
+
+
 def rgcn_layer_segment(
     layer_params: Dict[str, jnp.ndarray],
     x: jnp.ndarray,
@@ -150,6 +218,7 @@ def rgcn_layer_segment(
     *,
     compute_dtype: jnp.dtype = jnp.float32,
     impl: str = "auto",
+    agg_ops=None,
 ) -> jnp.ndarray:
     """Relation-typed mean-aggregated graph convolution over a RelGraph.
 
@@ -157,6 +226,7 @@ def rgcn_layer_segment(
         layer_params: see ops/rgcn_dense.py docstring for the schema.
         x: [N, Din] node features (without the dummy row).
         graph: static-shape relation-bucketed graph.
+        agg_ops: optional prebuilt ops from :func:`build_layer_agg_ops`.
 
     Returns:
         [N, Dout] updated node features.
@@ -171,33 +241,17 @@ def rgcn_layer_segment(
     # Dummy row (index n) is zero: sentinel edges contribute nothing.
     x_pad = jnp.concatenate([xc, jnp.zeros((1, din), dtype=xc.dtype)], axis=0)
 
-    # When the graph is a trace-time constant (the normal case: it is closed
-    # over by the jitted step), slice the index arrays on the host so the
-    # Pallas path can precompute its chunk schedule. Slicing the jnp arrays
-    # inside the trace would stage the slice and hide the concrete values.
-    try:
-        dst_h = np.asarray(graph.dst)
-        tsrc_h = np.asarray(graph.t_src)
-    except Exception:
-        dst_h = tsrc_h = None
+    if agg_ops is None:
+        agg_ops = build_layer_agg_ops(
+            graph, compute_dtype=compute_dtype, impl=impl)
 
     edge_norm = graph.norm_mode == "edge"
     out = xc @ w_root + bias[None, :]
     aggregate_first = din <= dout
     for r in range(graph.num_relations):
-        s, e = graph.bucket_slice(r)
-        if e == s:
+        agg_op = agg_ops[r]
+        if agg_op is None:
             continue
-        agg_op = make_gather_segment_sum(
-            graph.src[s:e], graph.dst[s:e],
-            graph.t_src[s:e], graph.t_dst[s:e], n + 1,
-            impl=impl,
-            mxu_dtype=(jnp.bfloat16 if compute_dtype == jnp.bfloat16
-                       else jnp.float32),
-            dst_host=None if dst_h is None else dst_h[s:e],
-            t_src_host=None if tsrc_h is None else tsrc_h[s:e],
-            scale=graph.edge_scale[s:e] if edge_norm else None,
-            t_scale=graph.t_edge_scale[s:e] if edge_norm else None)
         if edge_norm:
             # Messages are pre-scaled by 1/deg(dst) per edge; no table.
             if aggregate_first:

@@ -82,6 +82,7 @@ def _batch_loss(
     *,
     train: bool,
     layer_fn,
+    final_plan=None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Masked BCE-with-logits loss over positives + sampled negatives.
 
@@ -101,6 +102,7 @@ def _batch_loss(
     scores = model_apply(
         params, graph, heads, tails, rels, model_cfg,
         train=train, dropout_rng=k_drop if train else None, layer_fn=layer_fn,
+        final_plan=final_plan,
     )
 
     loss_sum, correct, count = bce_stats(scores, labels, weights)
@@ -141,10 +143,21 @@ def build_train_epoch(
                         np.zeros((1, 3), np.int32)], axis=0)
     )
 
+    from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+
+    final_plan = None
+    if layer_fn is rgcn_layer_segment:
+        from primekg_rgcn_tpu.ops.rgcn_final_layer import resolve_final_plan
+
+        final_plan = resolve_final_plan(
+            graph, edges, b, train_cfg.num_neg_samples,
+            seed=train_cfg.seed,
+            mode=getattr(train_cfg, "restrict_final", "auto"))
+
     grad_fn = jax.value_and_grad(
         lambda p, bi, k: _batch_loss(
             p, graph, edges_pad, bi, k, model_cfg, train_cfg,
-            train=True, layer_fn=layer_fn),
+            train=True, layer_fn=layer_fn, final_plan=final_plan),
         has_aux=True,
     )
 
