@@ -265,6 +265,49 @@ class MethodComparator:
                             1e-4, 1.0))
         return pvals
 
+    def plot_significance_heatmap(self, results: Dict[str, Dict],
+                                  pvals: Dict, metric: str = "auc_roc"):
+        """Method x method p-value heatmap PNG (MOCK values, like the
+        source dict). Mirrors the reference's seaborn heatmap contract
+        (reference: src/compare_methods.py:846-877 — annotated cells,
+        RdYlGn_r at vmin=0/vmax=0.1, black gridlines,
+        ``significance_heatmap_{metric}.png``); rendered with matplotlib
+        directly since this image ships no seaborn."""
+        names = list(results)
+        n = len(names)
+        mat = np.zeros((n, n))
+        for i, a in enumerate(names):
+            for j, b in enumerate(names):
+                if i == j:
+                    mat[i, j] = 1.0
+                else:
+                    mat[i, j] = pvals.get(f"{a}_vs_{b}",
+                                          pvals.get(f"{b}_vs_{a}", np.nan))
+        fig, ax = plt.subplots(figsize=(10, 8))
+        im = ax.imshow(mat, cmap="RdYlGn_r", vmin=0.0, vmax=0.1)
+        ax.set_xticks(range(n), names, rotation=30, ha="right")
+        ax.set_yticks(range(n), names)
+        for i in range(n):
+            for j in range(n):
+                ax.text(j, i, f"{mat[i, j]:.3f}", ha="center", va="center",
+                        fontsize=9,
+                        color="black" if mat[i, j] > 0.05 else "white")
+        # Black cell borders, matching the reference's linewidths=1 style.
+        ax.set_xticks(np.arange(-0.5, n), minor=True)
+        ax.set_yticks(np.arange(-0.5, n), minor=True)
+        ax.grid(which="minor", color="black", linewidth=1)
+        ax.tick_params(which="minor", length=0)
+        fig.colorbar(im, ax=ax, label="p-value (MOCK)")
+        ax.set_title(f"Statistical Significance (MOCK p-values) - {metric}",
+                     fontweight="bold")
+        ax.set_xlabel("Method")
+        ax.set_ylabel("Method")
+        fig.tight_layout()
+        out = self.output_dir / f"significance_heatmap_{metric}.png"
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        logger.info("Saved significance heatmap to %s", out)
+
     # -- outputs -------------------------------------------------------------
     def save_outputs(self, results: Dict[str, Dict],
                      freq: Optional[Dict] = None,
@@ -331,6 +374,8 @@ class MethodComparator:
                                             num_samples)
         pvals = self.mock_significance(results) if statistical_tests else None
         self.save_outputs(results, freq, pvals)
+        if pvals:
+            self.plot_significance_heatmap(results, pvals)
         return results
 
 

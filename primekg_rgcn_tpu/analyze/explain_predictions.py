@@ -144,7 +144,96 @@ class PredictionExplainer:
             fig.tight_layout()
             fig.savefig(d / "explanation_network.png", dpi=150)
             plt.close(fig)
+
+            self._save_sankey(out, d)
         logger.info("Saved explanation to %s", d)
+
+    def _save_sankey(self, out: Dict, d: Path):
+        """Pathway-flow (Sankey) diagram of the top paths.
+
+        Mirrors the reference's plotly Sankey (reference:
+        src/explain_predictions.py:732-797: unique node labels, one link per
+        consecutive pair, link value = path score x 10, HTML output) when
+        plotly is importable; this image ships no plotly, so a matplotlib
+        layered-flow PNG fallback renders the same structure (the reference
+        itself skips silently on ImportError — the fallback is strictly more
+        capability).
+        """
+        labels: List[str] = []
+        index: Dict[str, int] = {}
+        links: Dict[tuple, float] = {}
+        col: Dict[str, int] = {}
+        for p in out["top_paths"]:
+            for pos, name in enumerate(p["names"]):
+                if name not in index:
+                    index[name] = len(labels)
+                    labels.append(name)
+                col[name] = min(col.get(name, pos), pos)
+            for a, b in zip(p["names"], p["names"][1:]):
+                key = (index[a], index[b])
+                links[key] = links.get(key, 0.0) + p["score"] * 10.0
+        if not links:
+            return
+        safe = f"{out['drug']}__{out['disease']}".replace(" ", "_")[:90]
+
+        try:
+            import plotly.graph_objects as go  # optional dependency
+
+            fig = go.Figure(data=[go.Sankey(
+                node=dict(pad=15, thickness=20,
+                          line=dict(color="black", width=0.5),
+                          label=labels, color="lightblue"),
+                link=dict(source=[s for s, _ in links],
+                          target=[t for _, t in links],
+                          value=list(links.values())),
+            )])
+            fig.update_layout(
+                title=f"Pathway Flow: {out['drug']} -> {out['disease']}",
+                font_size=10, height=600)
+            fig.write_html(d / f"sankey_{safe}.html")
+            logger.info("Saved plotly Sankey to %s",
+                        d / f"sankey_{safe}.html")
+            return
+        except ImportError:
+            pass
+
+        # Matplotlib layered-flow fallback: columns = path position, curved
+        # links with width proportional to accumulated flow.
+        ncols = max(col.values()) + 1
+        rows: Dict[int, int] = {}
+        ys: Dict[str, float] = {}
+        for name in labels:
+            c = col[name]
+            ys[name] = -rows.get(c, 0)
+            rows[c] = rows.get(c, 0) + 1
+        fig, ax = plt.subplots(figsize=(2.5 * ncols + 2, 6))
+        vmax = max(links.values())
+        for (si, ti), v in links.items():
+            a, b = labels[si], labels[ti]
+            x0, y0 = col[a], ys[a]
+            x1, y1 = col[b], ys[b]
+            xs = np.linspace(x0, x1, 30)
+            # Smoothstep vertical interpolation ~ Sankey ribbon centerline.
+            t = (xs - x0) / max(x1 - x0, 1e-9)
+            curve = y0 + (y1 - y0) * (3 * t ** 2 - 2 * t ** 3)
+            ax.plot(xs, curve, color="steelblue", alpha=0.55,
+                    lw=1.0 + 9.0 * v / vmax, zorder=1,
+                    solid_capstyle="round")
+        for name in labels:
+            ax.scatter([col[name]], [ys[name]], s=420, zorder=2,
+                       color=("#2ecc71" if name == out["drug"] else
+                              "#e74c3c" if name == out["disease"] else
+                              "#3498db"))
+            ax.annotate(name[:24], (col[name], ys[name]),
+                        textcoords="offset points", xytext=(0, 14),
+                        ha="center", fontsize=7)
+        ax.set_title(f"Pathway Flow: {out['drug'][:25]} -> "
+                     f"{out['disease'][:35]}")
+        ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(d / f"sankey_{safe}.png", dpi=150)
+        plt.close(fig)
+        logger.info("Saved Sankey fallback to %s", d / f"sankey_{safe}.png")
 
 
 def main(argv=None):

@@ -122,6 +122,11 @@ def test_explainer(ctx, tmp_path):
         ex = PredictionExplainer(ctx, tmp_path)
         p2 = ex.score_path(out["top_paths"][0]["path"][:2])
         assert p2 >= 0
+        # Sankey pathway-flow artifact (plotly HTML when available, else
+        # the matplotlib fallback PNG; reference gates the same way,
+        # src/explain_predictions.py:587-590,732-797).
+        sub = next(p for p in tmp_path.iterdir() if p.is_dir())
+        assert list(sub.glob("sankey_*.png")) + list(sub.glob("sankey_*.html"))
 
 
 def test_embedding_visualizer(ctx, tmp_path):
@@ -171,6 +176,9 @@ def test_method_comparison(ctx, tmp_path):
     assert (tmp_path / "results_table.md").exists()
     assert (tmp_path / "results_table.tex").exists()
     assert (tmp_path / "method_comparison.png").exists()
+    # statistical_tests=True must emit the (MOCK-labeled) pairwise p-value
+    # heatmap (reference: src/compare_methods.py:846-877).
+    assert (tmp_path / "significance_heatmap_auc_roc.png").exists()
 
 
 def test_transe_baseline_learns(ctx):
