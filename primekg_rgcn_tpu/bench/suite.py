@@ -129,28 +129,41 @@ def bench_full_batch(**kw) -> Dict:
             "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2)}
 
 
-def bench_sampled(fanouts=(15, 10)) -> Dict:
+def bench_sampled(fanouts=(15, 10), dataset="primekg") -> Dict:
+    """Mini-batch neighbor-sampled training step.
+
+    dataset="primekg" is the north-star subgraph; "primekg-full" is BASELINE
+    config 4 (full PrimeKG + fanout-15/10 sampling) — the sampled step's cost
+    is batch-neighborhood-bound, so it is where sampling beats full-batch.
+    """
     import jax
     import jax.numpy as jnp
 
     from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
     from primekg_rgcn_tpu.data.graph import build_rel_graph
     from primekg_rgcn_tpu.data.sampling import build_csr_cache
-    from primekg_rgcn_tpu.data.synthetic import bidirect, primekg_like
+    from primekg_rgcn_tpu.data.synthetic import (
+        bidirect, primekg_full_like, primekg_like)
     from primekg_rgcn_tpu.models.rgcn import init_params
     from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
     from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
 
-    raw = primekg_like(seed=0, scale=1.0)
+    if dataset == "primekg-full":
+        raw = primekg_full_like(seed=0, scale=1.0)
+    else:
+        raw = primekg_like(seed=0, scale=1.0)
     src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
     n = raw["num_nodes"]
-    graph = build_rel_graph(src, dst, rel, n, 3)
-    csr = build_csr_cache(graph)
-    cfg = ModelConfig(num_nodes=n, num_relations=3)
+    n_rel = int(rel.max()) + 1
+    graph = build_rel_graph(src, dst, rel, n, n_rel)
+    cfg = ModelConfig(num_nodes=n, num_relations=n_rel)
     tcfg = TrainConfig(batch_size=1024)
     opt = make_optimizer(tcfg)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    step_fn = build_sampled_train_step(csr, cfg, tcfg, opt, fanouts=fanouts)
+    # layout="auto": per-relation picks on the dense 3-relation subgraph,
+    # combined-neighborhood on relation-sparse full PrimeKG.
+    step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
+                                       fanouts=fanouts)
 
     edges = np.stack([src, dst, rel], 1).astype(np.int32)
     rng = np.random.default_rng(0)
@@ -242,6 +255,7 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "primekg-bf16": lambda: bench_full_batch(compute_dtype="bfloat16"),
     "primekg-xla": lambda: bench_full_batch(impl="xla"),
     "sampled-15-10": lambda: bench_sampled((15, 10)),
+    "sampled-full-15-10": lambda: bench_sampled((15, 10), "primekg-full"),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),

@@ -217,14 +217,19 @@ def encoder_apply_sampled(
     counts; returns [num_seeds, hidden_dim] embeddings in seed order (via
     ``batch.seed_gather``).
     """
-    from primekg_rgcn_tpu.data.sampling import block_aggregate
+    from primekg_rgcn_tpu.data.sampling import (
+        block_aggregate,
+        table_gather_sorted,
+    )
     from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
 
     enc = params["encoder"]
     n = cfg.num_nodes
     emb_pad = jnp.concatenate(
         [enc["node_emb"], jnp.zeros((1, cfg.embedding_dim))], axis=0)
-    x = jnp.take(emb_pad, batch.frontier, axis=0)   # zeros at sentinels
+    # The frontier is sorted-unique (sentinel-padded), so this gather's
+    # backward is one sorted segment-sum into the table, not a scatter.
+    x = table_gather_sorted(emb_pad, batch.frontier)  # zeros at sentinels
 
     layers = [enc["conv1"], enc["conv2"]]
     if len(batch.blocks) != len(layers):

@@ -146,10 +146,19 @@ def partition_nodes(graph: RelGraph, n_devices: int,
 
     for d in range(n):
         (ls, lt, lr), (hs, ht, hr) = per_dev[d]
-        halo_pos = {}
-        for o in range(n):
-            for i, gid in enumerate(req[d][o]):
-                halo_pos[gid] = o * halo_p + i
+        # Vectorized gid -> halo-slot map (a python dict would cost one
+        # lookup per remote edge — ~30M at the 100M-edge config-5 scale).
+        req_cat = np.concatenate([req[d][o] for o in range(n)]) \
+            if any(len(req[d][o]) for o in range(n)) else np.zeros(0, np.int64)
+        pos_cat = np.concatenate(
+            [o * halo_p + np.arange(len(req[d][o]), dtype=np.int64)
+             for o in range(n)]) if len(req_cat) else np.zeros(0, np.int64)
+        order = np.argsort(req_cat, kind="stable")
+        req_sorted, pos_sorted = req_cat[order], pos_cat[order]
+
+        def halo_slots(gids):
+            return pos_sorted[np.searchsorted(req_sorted, gids)]
+
         for r in range(r_count):
             ml = lr == r
             c = int(ml.sum())
@@ -160,8 +169,9 @@ def partition_nodes(graph: RelGraph, n_devices: int,
             mh = hr == r
             ch = int(mh.sum())
             offh = offs_h[r]
-            src_halo[d, offh:offh + ch] = np.array(
-                [halo_pos[g] for g in hs[mh]], np.int32) if ch else []
+            if ch:
+                src_halo[d, offh:offh + ch] = halo_slots(hs[mh]).astype(
+                    np.int32)
             dst_halo[d, offh:offh + ch] = ht[mh] - d * n_loc
 
             deg = np.bincount(lt[ml] - d * n_loc, minlength=n_loc + 1) \
@@ -217,48 +227,47 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                                   concat_axis=0, tiled=True)
 
     aggregate_first = din <= dout
+    out = x_loc @ layer_params["w_root"] + layer_params["bias"][None, :]
 
-    def group_aggregate(table, src, dst, offsets):
-        """Sum over one edge group into [n_loc, Din or Dout] partials."""
-        parts = []
+    def accumulate(out, table, src, dst, offsets):
+        """Fold one edge group's per-relation partials straight into `out`.
+
+        Normalization and the relation transform are linear, so the local
+        and halo groups can be scaled/transformed and accumulated
+        independently: (l + h)*inv @ W == l*inv @ W + h*inv @ W. Folding
+        immediately keeps peak memory at ONE [n_loc, D] partial instead of
+        R of them — at config-5 scale (R=50, n_loc=1.25M) the stacked-parts
+        variant allocated 16 GB/device and OOM'd.
+        """
         for r in range(sg.num_relations):
             s, e = offsets[r], offsets[r + 1]
             if e == s:
-                parts.append(None)
                 continue
             if aggregate_first:
                 msg = jnp.take(table, src[s:e], axis=0)
             else:
                 msg = jnp.take(table @ w_rel[r], src[s:e], axis=0)
-            parts.append(jax.ops.segment_sum(
+            part = jax.ops.segment_sum(
                 msg, dst[s:e], num_segments=n_loc + 1,
-                indices_are_sorted=True)[:n_loc])
-        return parts
+                indices_are_sorted=True)[:n_loc]
+            inv = local["inv_deg"][r][:n_loc, None]
+            if aggregate_first:
+                out = out + (part * inv) @ w_rel[r]
+            else:
+                out = out + part * inv
+        return out
 
-    # 2) local-source aggregation: no dependency on `recv`
-    parts_local = group_aggregate(x_pad, local["src_local"],
-                                  local["dst_local"], sg.offsets_local)
+    # 2) local-source aggregation: no dependency on `recv`, so the
+    #    collective overlaps with this entire phase.
+    out = accumulate(out, x_pad, local["src_local"],
+                     local["dst_local"], sg.offsets_local)
 
     # 3) halo-source aggregation (waits for the collective)
     halo_table = jnp.concatenate(
         [recv.reshape(-1, x_loc.shape[1]),
          jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
-    parts_halo = group_aggregate(halo_table, local["src_halo"],
-                                 local["dst_halo"], sg.offsets_halo)
-
-    out = x_loc @ layer_params["w_root"] + layer_params["bias"][None, :]
-    for r in range(sg.num_relations):
-        acc = None
-        for p in (parts_local[r], parts_halo[r]):
-            if p is not None:
-                acc = p if acc is None else acc + p
-        if acc is None:
-            continue
-        inv = local["inv_deg"][r][:n_loc, None]
-        if aggregate_first:
-            out = out + (acc * inv) @ w_rel[r]
-        else:
-            out = out + acc * inv
+    out = accumulate(out, halo_table, local["src_halo"],
+                     local["dst_halo"], sg.offsets_halo)
     return out
 
 

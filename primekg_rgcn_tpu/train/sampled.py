@@ -13,6 +13,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
@@ -23,17 +24,65 @@ from primekg_rgcn_tpu.train.loop import TrainState
 from primekg_rgcn_tpu.train.neg_sampling import bce_stats, candidate_batch
 
 
+def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto"):
+    """Pick the pick-tensor layout for this graph's relation sparsity.
+
+    "per-relation" ([R, M, f] picks) is right when most (node, relation)
+    pairs have edges; "combined" (merged-neighborhood budget with relation
+    tags + importance weights) is right for relation-sparse graphs, where
+    per-relation fanout materializes R*f mostly-sentinel slots per node
+    (measured 2,970 ms/step on 30-relation full PrimeKG vs ~60 ms combined).
+    "auto" switches to combined when avg present relations per node is under
+    half the relation count. Returns (csr_like, budgets, use_combined).
+    """
+    from primekg_rgcn_tpu.data.sampling import (
+        CombinedCsr, build_combined_csr, build_csr_cache)
+
+    fanouts = tuple(int(f) for f in fanouts)
+    if isinstance(graph_or_csr, (CsrCache, CombinedCsr)):
+        csr = graph_or_csr
+        graph = None
+    else:
+        graph = graph_or_csr
+        csr = None
+
+    if layout == "per-relation" or isinstance(csr, CsrCache):
+        if csr is None:
+            csr = build_csr_cache(graph)
+        return csr, fanouts, False
+    if csr is None:
+        ccsr = build_combined_csr(graph)
+        if layout == "auto" and \
+                ccsr.avg_present_relations >= 0.5 * ccsr.num_relations:
+            return build_csr_cache(graph), fanouts, False
+    else:
+        ccsr = csr
+    # Budget: the per-relation fanout times the graph's typical number of
+    # PRESENT relations per node — equal effective sample size without the
+    # R*f sentinel blowup. Rounded up to a lane-friendly multiple of 8.
+    factor = max(1.0, ccsr.avg_present_relations)
+    budgets = tuple(-(-int(np.ceil(f * factor)) // 8) * 8 for f in fanouts)
+    return ccsr, budgets, True
+
+
 def build_sampled_train_step(
-    csr: CsrCache,
+    csr,
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
     *,
     fanouts: Sequence[int] = (15, 10),
     mode: str = "uniform",
+    layout: str = "auto",
 ):
-    """Returns jitted ``step(state, pos_edges [B, 3], key)``."""
-    fanouts = tuple(int(f) for f in fanouts)
+    """Returns jitted ``step(state, pos_edges [B, 3], key)``.
+
+    ``csr`` may be a CsrCache (per-relation layout), a CombinedCsr, or a
+    RelGraph (layout resolved per :func:`resolve_sampler`).
+    """
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
 
     def loss_fn(params, pos, key):
         k_neg, k_sample, k_drop = jax.random.split(key, 3)
@@ -43,7 +92,11 @@ def build_sampled_train_step(
 
         # One shared sampled block for every endpoint in the batch.
         seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
-        batch = sample_batch(k_sample, csr, seeds, fanouts, mode=mode)
+        if use_combined:
+            batch = sample_batch_combined(k_sample, csr, seeds, fanouts,
+                                          mode=mode)
+        else:
+            batch = sample_batch(k_sample, csr, seeds, fanouts, mode=mode)
         emb = encoder_apply_sampled(params, batch, model_cfg, train=True,
                                     dropout_rng=k_drop)
         m = heads.shape[0]
@@ -100,9 +153,8 @@ class SampledTrainer:
         params = init_params(k_init, model_cfg)
         self.state = TrainState(params, self.optimizer.init(params),
                                 jnp.zeros((), jnp.int32))
-        csr = build_csr_cache(graph)
         self.step_fn = build_sampled_train_step(
-            csr, model_cfg, train_cfg, self.optimizer, fanouts=fanouts,
+            graph, model_cfg, train_cfg, self.optimizer, fanouts=fanouts,
             mode=mode)
         from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
 

@@ -133,3 +133,101 @@ def test_sampled_training_step_learns():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+# -- combined-neighborhood layout (relation-sparse graphs) --------------------
+
+def _setup_sparse(seed=0, n=80, r=12, e=700):
+    """Many relations, few edges each: avg present relations per node << R."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    from primekg_rgcn_tpu.data.sampling import build_combined_csr
+
+    ccsr = build_combined_csr(graph)
+    max_total = int(np.asarray(ccsr.deg_total).max())
+    return graph, cfg, params, ccsr, max_total
+
+
+def test_combined_full_budget_truncate_equals_full_graph():
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    graph, cfg, params, ccsr, max_total = _setup_sparse()
+    seeds = jnp.asarray(np.arange(25, dtype=np.int32))
+    batch = sample_batch_combined(jax.random.PRNGKey(0), ccsr, seeds,
+                                  budgets=[max_total, max_total],
+                                  mode="truncate")
+    out_sampled = encoder_apply_sampled(params, batch, cfg)
+    out_full = encoder_apply(params, graph, cfg)
+    np.testing.assert_allclose(np.asarray(out_sampled),
+                               np.asarray(out_full)[:25],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_combined_uniform_is_unbiased_estimate():
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    seeds = jnp.asarray(np.arange(12, dtype=np.int32))
+    full = np.asarray(encoder_apply(params, graph, cfg))[:12]
+
+    @jax.jit
+    def one(key):
+        b = sample_batch_combined(key, ccsr, seeds, budgets=[24, 24],
+                                  mode="uniform")
+        return encoder_apply_sampled(params, b, cfg)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 300)
+    avg = np.mean([np.asarray(one(k)) for k in keys], axis=0)
+    # ReLU between layers makes the 2-layer composition only approximately
+    # unbiased (like every sampled GNN); the estimate must still sit close.
+    err = np.abs(avg - full).max() / (np.abs(full).max() + 1e-9)
+    assert err < 0.25, f"relative deviation {err:.3f}"
+
+
+def test_resolve_sampler_auto_layout():
+    from primekg_rgcn_tpu.data.sampling import CombinedCsr, CsrCache
+    from primekg_rgcn_tpu.train.sampled import resolve_sampler
+
+    dense_graph, *_ = _setup()          # 3 relations, dense per-relation
+    sparse_graph, *_ = _setup_sparse()  # 12 relations, sparse
+    csr_d, fan_d, comb_d = resolve_sampler(dense_graph, (4, 4), "auto")
+    assert isinstance(csr_d, CsrCache) and not comb_d and fan_d == (4, 4)
+    csr_s, budgets, comb_s = resolve_sampler(sparse_graph, (4, 4), "auto")
+    assert isinstance(csr_s, CombinedCsr) and comb_s
+    assert all(b % 8 == 0 and b >= 4 for b in budgets)
+
+
+def test_combined_training_step_learns():
+    from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
+    from primekg_rgcn_tpu.config import TrainConfig
+
+    rng = np.random.default_rng(1)
+    n, r, e = 80, 12, 700
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    tcfg = TrainConfig(batch_size=64, lr=5e-2)
+    opt = make_optimizer(tcfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    step = build_sampled_train_step(graph, cfg, tcfg, opt, fanouts=(6, 6),
+                                    layout="combined")
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    edges = jnp.asarray(np.stack([src, dst, rel], 1).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, k = jax.random.split(key)
+        bi = jax.random.randint(k, (64,), 0, e)
+        state, (loss, acc) = step(state, jnp.take(edges, bi, axis=0), k)
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
