@@ -148,17 +148,42 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg") -> Dict:
     from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
     from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
 
-    if dataset == "primekg-full":
+    if dataset == "rmat-10m":
+        # BASELINE configs 4+5 combined on ONE chip: full-batch cannot even
+        # materialize its message stream at 100M edges ([100M, 64] f32 =
+        # 25.6 GB > HBM); the sampled step is frontier-bound and fits.
+        from primekg_rgcn_tpu import native
+        from primekg_rgcn_tpu.data.synthetic import rmat
+
+        g = native.rmat_native(10_000_000, 100_000_000, 50, seed=0) \
+            or rmat(10_000_000, 100_000_000, 50, seed=0)
+        src, dst, rel = g["src"], g["dst"], g["rel"]
+        n = 10_000_000
+    elif dataset == "primekg-full":
         raw = primekg_full_like(seed=0, scale=1.0)
+        src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
+        n = raw["num_nodes"]
     else:
         raw = primekg_like(seed=0, scale=1.0)
-    src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
-    n = raw["num_nodes"]
+        src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
+        n = raw["num_nodes"]
     n_rel = int(rel.max()) + 1
     graph = build_rel_graph(src, dst, rel, n, n_rel)
-    cfg = ModelConfig(num_nodes=n, num_relations=n_rel)
+    big = dataset == "rmat-10m"
+    # Single-chip 10M-node memory spec: bf16 messages + plain SGD. Dense
+    # adam state is 3x params (7.7 GB) and this backend declines buffer
+    # donation, so input+output state alone would exceed the 16 GB chip —
+    # adam at this scale is exactly what the multi-chip node-sharded path
+    # (bench/pod_scale.py) exists for.
+    cfg = ModelConfig(num_nodes=n, num_relations=n_rel,
+                      compute_dtype="bfloat16" if big else "float32")
     tcfg = TrainConfig(batch_size=1024)
-    opt = make_optimizer(tcfg)
+    if big:
+        import optax
+
+        opt = optax.sgd(tcfg.lr)
+    else:
+        opt = make_optimizer(tcfg)
     params = init_params(jax.random.PRNGKey(0), cfg)
     # layout="auto": per-relation picks on the dense 3-relation subgraph,
     # combined-neighborhood on relation-sparse full PrimeKG.
@@ -256,6 +281,7 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "primekg-xla": lambda: bench_full_batch(impl="xla"),
     "sampled-15-10": lambda: bench_sampled((15, 10)),
     "sampled-full-15-10": lambda: bench_sampled((15, 10), "primekg-full"),
+    "sampled-10m-15-10": lambda: bench_sampled((15, 10), "rmat-10m"),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),

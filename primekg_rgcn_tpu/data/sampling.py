@@ -28,12 +28,36 @@ This module adds the capability TPU-first (BASELINE.json config 4: fanout
   invalid slots point at the sentinel id ``num_nodes`` whose features are
   zero and whose count weight is zero.
 
+- **Two pick-tensor layouts.** Per-relation [R, M, f] picks (below) suit
+  graphs where most (node, relation) pairs have edges; relation-SPARSE
+  graphs (full PrimeKG: ~1.2 in-edges per (node, relation) pair over 30
+  relations) use the COMBINED layout — a single per-node budget sampled
+  from the merged (dst, rel)-sorted neighborhood, relation tags per slot,
+  and importance weights that keep the per-relation-mean estimator
+  unbiased. Per-(node, relation) reduction + one [M, R*Din] @ [R*Din,
+  Dout] MXU matmul (three selectable reduction structures — see
+  _block_aggregate_combined). train.sampled.resolve_sampler picks the
+  layout automatically.
+- **Sort-exposing dedup.** Both layouts' per-layer dedup keeps the sort
+  permutation so every dynamic gather's backward runs as a SORTED
+  segment-sum (custom VJPs below) instead of XLA's unsorted scatter-add
+  transpose; saturated frontiers (raw slots >= N+1) skip table
+  construction entirely (identity over the node space).
+
 A sampled 2-layer step touches O(unique(B * f^2)) embedding rows instead of
-O(E) — which is what makes 100M-edge graphs trainable.
+O(E) — which is what makes 100M-edge graphs trainable. Measured on the
+30-relation full-PrimeKG stand-in (v5e, batch 1024, fanout 15/10): naive
+per-relation layout 2,970 ms/step -> combined layout + sorted-backward
+dedup 446 ms. Note the honest scale analysis: at 129K nodes a 4,096-seed
+2-hop batch SATURATES the graph (every static frontier hits the N+1
+capacity ceiling), so full-batch training (136 ms/step there) stays the
+right default — sampling's win begins where full-batch stops fitting
+(config-5 scale, 10M+ nodes).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -139,6 +163,16 @@ def _sorted_unique(raw: jnp.ndarray, cap: int, n: int):
     """
     perm = jnp.argsort(raw, stable=True)
     srt = jnp.take(raw, perm, axis=0)
+    if cap >= _round_up(n + 1, 64) and int(raw.shape[0]) >= n + 1:
+        # SATURATED frontier (raw slots >= N+1, the capacity ceiling): the
+        # dedup table degenerates to the identity over the whole node space,
+        # so both construction scatters vanish — inv is raw itself and the
+        # backward's segment ids are the sorted global ids. This is exactly
+        # the expensive case (big L), where the two scatters measured
+        # ~42 ms EACH at 5.3M slots on v5e; the small-L case below keeps
+        # the compact table.
+        uniq = jnp.minimum(jnp.arange(cap, dtype=raw.dtype), n)
+        return uniq, raw, perm.astype(jnp.int32), srt.astype(jnp.int32)
     is_new = jnp.concatenate(
         [jnp.ones((1,), bool), srt[1:] != srt[:-1]])
     uid = (jnp.cumsum(is_new) - 1).astype(jnp.int32)
@@ -200,6 +234,141 @@ def _tg_bwd(res, g):
 
 
 table_gather_sorted.defvjp(_tg_fwd, _tg_bwd)
+
+
+@jax.custom_vjp
+def rowwise_rel_sum(msg, rtag, ends):
+    """Per-(node, relation) slot sums: [M, F, D] -> [M, R, D].
+
+    Requires each row's relation tags ascending (the sampler guarantees
+    it). Forward = cumsum along the slot axis + gather at each relation's
+    end position + adjacent difference — O(M*F*D) streaming, no scatter
+    and no [M, F, R] broadcast (a one-hot einsum streamed ~40 GB / 150 ms
+    at full-PrimeKG scale; a flat (node*R+rel) segment-sum with ~1 row per
+    segment lowered even worse, 1.2 s). Backward is exact and trivial:
+    every slot's cotangent IS its relation's row, d_msg[m, f] =
+    g[m, rtag[m, f]] — one gather.
+
+    Args: msg [M, F, D] (weighted messages); rtag int32 [M, F] ascending
+    per row; ends int32 [M, R] with ends[m, r] = #slots with tag <= r.
+    """
+    m, f, d = msg.shape
+    r = ends.shape[1]
+    s = jnp.cumsum(msg, axis=1)
+    s = jnp.concatenate([jnp.zeros_like(s[:, :1]), s], axis=1)
+    # Flat ROW gather instead of take_along_axis: the latter broadcasts the
+    # index over D and lowers to M*R*D single-element gathers (~1 s at
+    # full-PrimeKG scale); this is one [M*R] row gather of D-wide rows.
+    flat = (jnp.arange(m, dtype=jnp.int32)[:, None] * (f + 1)
+            + ends).reshape(-1)
+    csum = jnp.take(s.reshape(m * (f + 1), d), flat, axis=0).reshape(m, r, d)
+    return jnp.diff(csum, axis=1,
+                    prepend=jnp.zeros_like(csum[:, :1]))
+
+
+def _rrs_fwd(msg, rtag, ends):
+    return rowwise_rel_sum(msg, rtag, ends), (rtag, ends.shape)
+
+
+def _rrs_bwd(res, g):
+    rtag, ends_shape = res
+    m, r, d = g.shape
+    f = rtag.shape[1]
+    flat = (jnp.arange(m, dtype=jnp.int32)[:, None] * r + rtag).reshape(-1)
+    d_msg = jnp.take(g.reshape(m * r, d), flat, axis=0).reshape(m, f, d)
+    f0 = jax.dtypes.float0
+    return d_msg, np.zeros(rtag.shape, f0), np.zeros(ends_shape, f0)
+
+
+rowwise_rel_sum.defvjp(_rrs_fwd, _rrs_bwd)
+
+
+def _pick_chunks(m: int, target: int = 8192) -> int:
+    """Largest divisor of m giving chunks of roughly ``target`` rows."""
+    best = 1
+    for nc in range(1, 65):
+        if m % nc == 0 and m // nc >= target:
+            best = nc
+    return best
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def chunked_rel_apply(n_chunks, rows3, rtag, slot_w, ends, w_all):
+    """sum_r (per-(node, rel) weighted slot sums) @ W_r, chunked over nodes.
+
+    Computes ``rowwise_rel_sum(rows3 * slot_w) reshaped @ W_flat`` as a
+    lax.scan over node chunks with a MANUAL backward, so the [M, F, D]
+    weighted-message, [M, F+1, D] cumsum, and [M, R, D] per-relation
+    buffers exist only at chunk granularity and autodiff saves NO
+    full-size residuals. Needed because the hosted TPU backend
+    host-offloads buffers once a program's live set approaches ~8-10 GB —
+    the unchunked full-PrimeKG sampled step spent ~0.9 s/step in host
+    transport (profiled: S(1) copy-starts + ConcatBitcast slicing).
+
+    Args: rows3 [M, F, D] gathered input rows (UNweighted); rtag int32
+    [M, F] ascending per row; slot_w [M, F]; ends int32 [M, R];
+    w_all [R, D, H]. Returns [M, H].
+    """
+    m = rows3.shape[0]
+    r, d, h = w_all.shape
+    w_flat = w_all.reshape(r * d, h)
+    c = m // n_chunks
+
+    def body(_, xs):
+        rows_c, rtag_c, w_c, ends_c = xs
+        msg = rows_c * w_c[..., None]
+        agg = rowwise_rel_sum(msg, rtag_c, ends_c)        # [C, R, D]
+        return None, agg.reshape(c, r * d) @ w_flat
+
+    _, out = jax.lax.scan(
+        body, None,
+        (rows3.reshape(n_chunks, c, *rows3.shape[1:]),
+         rtag.reshape(n_chunks, c, -1), slot_w.reshape(n_chunks, c, -1),
+         ends.reshape(n_chunks, c, -1)))
+    return out.reshape(m, h)
+
+
+def _cra_fwd(n_chunks, rows3, rtag, slot_w, ends, w_all):
+    out = chunked_rel_apply(n_chunks, rows3, rtag, slot_w, ends, w_all)
+    return out, (rows3, rtag, slot_w, ends, w_all)
+
+
+def _cra_bwd(n_chunks, res, g):
+    rows3, rtag, slot_w, ends, w_all = res
+    m, f, d = rows3.shape
+    r, _, h = w_all.shape
+    c = m // n_chunks
+    w_flat = w_all.reshape(r * d, h)
+    row_ix = jnp.arange(c, dtype=jnp.int32)[:, None]
+
+    def body(dw_acc, xs):
+        rows_c, rtag_c, w_c, ends_c, g_c = xs
+        # Recompute the chunk's per-relation sums for dW.
+        msg = rows_c * w_c[..., None]
+        agg = rowwise_rel_sum(msg, rtag_c, ends_c).reshape(c, r * d)
+        dw_acc = dw_acc + agg.T @ g_c
+        # d_agg[m] = g[m] @ W^T; each slot's cotangent is its relation's
+        # row of d_agg (flat row gather, not take_along_axis).
+        d_agg = (g_c @ w_flat.T).reshape(c, r, d)
+        flat = (row_ix * r + rtag_c).reshape(-1)
+        d_msg = jnp.take(d_agg.reshape(c * r, d), flat,
+                         axis=0).reshape(c, f, d)
+        d_rows = d_msg * w_c[..., None]
+        d_w = jnp.sum(d_msg * rows_c, axis=2)
+        return dw_acc, (d_rows, d_w)
+
+    dw, (d_rows, d_slotw) = jax.lax.scan(
+        body, jnp.zeros((r * d, h), g.dtype),
+        (rows3.reshape(n_chunks, c, f, d), rtag.reshape(n_chunks, c, f),
+         slot_w.reshape(n_chunks, c, f), ends.reshape(n_chunks, c, -1),
+         g.reshape(n_chunks, c, h)))
+    f0 = jax.dtypes.float0
+    return (d_rows.reshape(m, f, d), np.zeros(rtag.shape, f0),
+            d_slotw.reshape(m, f), np.zeros(ends.shape, f0),
+            dw.reshape(r, d, h))
+
+
+chunked_rel_apply.defvjp(_cra_fwd, _cra_bwd)
 
 
 def _sample_layer(key, csr: CsrCache, frontier: jnp.ndarray, fanout: int,
@@ -278,9 +447,9 @@ def block_aggregate(layer_params, x_in: jnp.ndarray, block: SampledBlock,
     if isinstance(block, CombinedBlock):
         return _block_aggregate_combined(layer_params, x_in, block,
                                          materialize_fn)
-    w_rel = materialize_fn(layer_params)   # [R, Din, Dout]
-    w_root = layer_params["w_root"]
-    bias = layer_params["bias"]
+    w_rel = materialize_fn(layer_params).astype(x_in.dtype)  # [R, Din, Dout]
+    w_root = layer_params["w_root"].astype(x_in.dtype)
+    bias = layer_params["bias"].astype(x_in.dtype)
     r_count, m, fanout = block.src_local.shape
     # ONE dedup gather over the whole raw id stream (self rows + all
     # relations' picks) so the backward is a single sorted segment-sum.
@@ -350,8 +519,12 @@ def build_combined_csr(graph: RelGraph) -> CombinedCsr:
     d = dst[order]
     row_start = np.searchsorted(d, np.arange(n + 2)).astype(np.int32)
     deg_total = np.diff(row_start).astype(np.int32)
+    # float16 halves the [N*R] degree table (2 GB -> 1 GB at the 10M-node
+    # 50-relation config); relative error of 1/deg is <= 0.05% for hub
+    # degrees beyond f16's exact-integer range, negligible for importance
+    # weights.
     deg_rel = np.bincount(d * r_count + rel_s,
-                          minlength=(n + 1) * r_count).astype(np.float32)
+                          minlength=(n + 1) * r_count).astype(np.float16)
     present = float((deg_rel.reshape(n + 1, r_count) > 0).sum(1).mean())
     return CombinedCsr(
         row_start=jnp.asarray(row_start), col=jnp.asarray(col),
@@ -397,15 +570,34 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         valid = idx < dtot[:, None]
     pos = start[:, None] + jnp.minimum(idx, jnp.maximum(dtot[:, None] - 1, 0))
     picks = jnp.where(valid, jnp.take(ccsr.col, pos), n)
-    rtag = jnp.where(valid, jnp.take(ccsr.rel, pos), 0)
+    # Invalid slots tag the LAST relation (weight 0) so per-row rel tags
+    # stay ascending — the aggregation's sorted-segment promise needs it.
+    rtag = jnp.where(valid, jnp.take(ccsr.rel, pos), r_count - 1)
     deg_r = jnp.take(ccsr.deg_rel_flat,
-                     frontier[:, None] * r_count + rtag)
+                     frontier[:, None] * r_count + rtag).astype(jnp.float32)
     if mode == "uniform":
         w = dtot[:, None].astype(jnp.float32) / (
             budget * jnp.maximum(deg_r, 1.0))
     else:
         w = 1.0 / jnp.maximum(deg_r, 1.0)
     w = jnp.where(valid & (deg_r > 0), w, 0.0)
+
+    # Sort each node's slots by relation tag so the aggregation's flat
+    # (node*R + rel) segment ids are globally ascending — the per-relation
+    # reduction then runs as ONE sorted segment-sum + one [M, R*Din] matmul
+    # on the MXU. (The one-hot einsum alternative lowers to a broadcast
+    # product that streams M*F*R*D floats — ~40 GB and 150 ms at full-
+    # PrimeKG scale.) The merged CSR is already rel-sorted per node, so
+    # truncate-mode picks arrive sorted; uniform picks need the sort.
+    if mode == "uniform":
+        order = jnp.argsort(rtag, axis=1, stable=True)
+        # Flat 1-D gathers, not take_along_axis (which lowers to M*F
+        # single-element gathers on TPU — 20 ms per array at this size).
+        flat = (jnp.arange(m, dtype=jnp.int32)[:, None] * budget
+                + order).reshape(-1)
+        g1 = lambda a: jnp.take(a.reshape(-1), flat, axis=0).reshape(  # noqa: E731
+            m, budget)
+        picks, rtag, w = g1(picks), g1(rtag), g1(w)
 
     raw = jnp.concatenate([frontier, picks.reshape(-1)])
     cap = _unique_cap(int(raw.shape[0]), n)
@@ -447,14 +639,48 @@ def _block_aggregate_combined(layer_params, x_in: jnp.ndarray,
     w_root = layer_params["w_root"]
     bias = layer_params["bias"]
     r_count = w_rel.shape[0]
+    din, dout = w_rel.shape[1], w_rel.shape[2]
+    w_rel = w_rel.astype(x_in.dtype)
+    w_root = w_root.astype(x_in.dtype)
+    bias = bias.astype(x_in.dtype)
     inv_all = jnp.concatenate(
         [block.self_idx, block.src_local.reshape(-1)])
     rows = dedup_gather(x_in, inv_all, block.sort_perm, block.sort_uid)
     m = block.m_out
     out = rows[:m] @ w_root + bias[None, :]
-    msg = rows[m:].reshape(*block.src_local.shape, x_in.shape[1])
-    msg = msg * block.slot_w[..., None]                     # [M, F, Din]
-    onehot = (block.rel_tag[..., None]
-              == jnp.arange(r_count, dtype=jnp.int32)).astype(msg.dtype)
-    agg = jnp.einsum("mfr,mfd->mrd", onehot, msg)           # [M, R, Din]
-    return out + jnp.einsum("mrd,rdh->mh", agg, w_rel)
+    budget = block.src_local.shape[1]
+    # Per-(node, relation) sums, then all R relation transforms as one
+    # [*, R*Din] @ [R*Din, Dout] MXU matmul. Three interchangeable
+    # reduction structures (identical math; relative speed varies with the
+    # backend's memory-space placement decisions, which on the hosted v5e
+    # frontend have proven shape-dependent; full-PrimeKG fanout-15/10
+    # train step measured clean: einsum 446 ms, rowwise 572 ms, chunked
+    # 760 ms — hence the default, revisit on other backends via
+    # PRIMEKG_COMBINED_AGG):
+    #   einsum (default): one-hot [M, F, R] einsum (streams M*F*R*Din);
+    #   rowwise: whole-batch cumsum-diff (rowwise_rel_sum);
+    #   chunked: lax.scan over node chunks + manual VJP, big
+    #       intermediates only ever exist at chunk size.
+    import os
+
+    impl = os.environ.get("PRIMEKG_COMBINED_AGG", "einsum")
+    msg3 = rows[m:].reshape(m, budget, din)
+    slot_w = block.slot_w.astype(x_in.dtype)  # keep bf16 paths bf16
+    if impl == "einsum":
+        msg = msg3 * slot_w[..., None]
+        onehot = (block.rel_tag[..., None]
+                  == jnp.arange(r_count, dtype=jnp.int32)).astype(msg.dtype)
+        agg = jnp.einsum("mfr,mfd->mrd", onehot, msg)
+        return out + agg.reshape(m, r_count * din) @ w_rel.reshape(
+            r_count * din, dout)
+    ends = jnp.stack(
+        [(block.rel_tag <= r).sum(1, dtype=jnp.int32)
+         for r in range(r_count)], axis=1)                  # [M, R]
+    if impl == "rowwise":
+        agg = rowwise_rel_sum(msg3 * slot_w[..., None],
+                              block.rel_tag, ends)
+        return out + agg.reshape(m, r_count * din) @ w_rel.reshape(
+            r_count * din, dout)
+    nc = _pick_chunks(m)
+    return out + chunked_rel_apply(
+        nc, msg3, block.rel_tag, slot_w, ends, w_rel)

@@ -225,11 +225,18 @@ def encoder_apply_sampled(
 
     enc = params["encoder"]
     n = cfg.num_nodes
-    emb_pad = jnp.concatenate(
-        [enc["node_emb"], jnp.zeros((1, cfg.embedding_dim))], axis=0)
+    # No dummy-row concatenate: appending one row to the embedding table
+    # would COPY it (at 10M nodes the XLA temp was 2 x 4.77 GB — the copy
+    # plus tile-padding 2x expansion — which alone OOM'd the chip).
+    # Sentinel slots instead clamp to row n-1 and are zeroed post-gather.
     # The frontier is sorted-unique (sentinel-padded), so this gather's
     # backward is one sorted segment-sum into the table, not a scatter.
-    x = table_gather_sorted(emb_pad, batch.frontier)  # zeros at sentinels
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    sentinel = (batch.frontier == n)[:, None]
+    x = table_gather_sorted(enc["node_emb"].astype(compute_dtype),
+                            jnp.minimum(batch.frontier, n - 1))
+    x = jnp.where(sentinel, jnp.zeros((), compute_dtype), x)
 
     layers = [enc["conv1"], enc["conv2"]]
     if len(batch.blocks) != len(layers):
@@ -240,7 +247,8 @@ def encoder_apply_sampled(
         x = block_aggregate(layer, x, block, materialize_relation_weights)
         # Sentinel rows must stay exactly zero (the bias would otherwise
         # leak into higher layers through their sampled picks).
-        x = jnp.where((block.out_ids == n)[:, None], 0.0, x)
+        x = jnp.where((block.out_ids == n)[:, None],
+                      jnp.zeros((), x.dtype), x)
         if li < len(layers) - 1:
             x = jax.nn.relu(x)
             if train and cfg.dropout > 0.0:
@@ -249,8 +257,8 @@ def encoder_apply_sampled(
                 dropout_rng, k = jax.random.split(dropout_rng)
                 keep = 1.0 - cfg.dropout
                 mask = jax.random.bernoulli(k, keep, x.shape)
-                x = jnp.where(mask, x / keep, 0.0)
-    return jnp.take(x, batch.seed_gather, axis=0)
+                x = jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+    return jnp.take(x, batch.seed_gather, axis=0).astype(jnp.float32)
 
 
 # ============================================================================

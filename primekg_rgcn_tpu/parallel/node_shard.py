@@ -78,6 +78,10 @@ class NodeShardedGraph(NamedTuple):
     dst_local: jnp.ndarray
     src_halo: jnp.ndarray
     dst_halo: jnp.ndarray
+    t_src_local: jnp.ndarray
+    t_dst_local: jnp.ndarray
+    t_src_halo: jnp.ndarray
+    t_dst_halo: jnp.ndarray
     inv_deg: jnp.ndarray
     serve: jnp.ndarray
     offsets_local: Tuple[int, ...]
@@ -87,12 +91,27 @@ class NodeShardedGraph(NamedTuple):
     num_nodes: int
     num_relations: int
     n_devices: int
+    uniform_caps: bool
 
 
 def partition_nodes(graph: RelGraph, n_devices: int,
-                    *, pad_multiple: int = 256) -> NodeShardedGraph:
-    """Host-side partitioner (runs once per graph/mesh shape)."""
+                    *, pad_multiple: int = 256,
+                    uniform_caps: bool = None) -> NodeShardedGraph:
+    """Host-side partitioner (runs once per graph/mesh shape).
+
+    ``uniform_caps`` pads every relation bucket to the same capacity so the
+    layer can run a ``lax.scan`` over relations (O(1) memory in R — see
+    ``_scan_accumulate``). Default: on when num_relations >= 16, where the
+    unrolled loop's backward would otherwise materialize R stacked
+    [n_loc, D] cotangents (a measured 260 GB allocation at the
+    50-relation/10M-node config-5 scale) and near-uniform buckets make the
+    padding cheap; off for few-relation skewed graphs (PrimeKG's 3-30
+    relations span 1.2K..800K-edge buckets, where uniform padding would
+    nearly double the edge work).
+    """
     n = n_devices
+    if uniform_caps is None:
+        uniform_caps = graph.num_relations >= 16
     num_nodes = graph.num_nodes
     r_count = graph.num_relations
     n_loc = -(-num_nodes // n)
@@ -118,6 +137,8 @@ def partition_nodes(graph: RelGraph, n_devices: int,
     def _caps(counts):
         caps = [max(_round_up(int(counts[:, r].max()), pad_multiple),
                     pad_multiple) for r in range(r_count)]
+        if uniform_caps:
+            caps = [max(caps)] * r_count
         offsets = [0]
         for c in caps:
             offsets.append(offsets[-1] + c)
@@ -183,11 +204,34 @@ def partition_nodes(graph: RelGraph, n_devices: int,
             ids = req[d][o]
             serve[o, d, : len(ids)] = ids - o * n_loc
 
+    # Per-(device, relation, group) transpose edge order (sorted by SOURCE):
+    # the layer backward routes output-row cotangents back to source rows as
+    # a SORTED segment-sum instead of a scatter (same trick as
+    # ops/rgcn_segment.py, here per shard). Sentinel sources are the max
+    # table index so they sort to the end and land on the dummy row.
+    t_src_local = np.empty_like(src_local)
+    t_dst_local = np.empty_like(dst_local)
+    t_src_halo = np.empty_like(src_halo)
+    t_dst_halo = np.empty_like(dst_halo)
+    for d in range(n):
+        for r in range(r_count):
+            for (S, D_, TS, TD, offs) in (
+                    (src_local, dst_local, t_src_local, t_dst_local, offs_l),
+                    (src_halo, dst_halo, t_src_halo, t_dst_halo, offs_h)):
+                a, b = offs[r], offs[r + 1]
+                order = np.argsort(S[d, a:b], kind="stable")
+                TS[d, a:b] = S[d, a:b][order]
+                TD[d, a:b] = D_[d, a:b][order]
+
     return NodeShardedGraph(
         src_local=jnp.asarray(src_local),
         dst_local=jnp.asarray(dst_local),
         src_halo=jnp.asarray(src_halo),
         dst_halo=jnp.asarray(dst_halo),
+        t_src_local=jnp.asarray(t_src_local),
+        t_dst_local=jnp.asarray(t_dst_local),
+        t_src_halo=jnp.asarray(t_src_halo),
+        t_dst_halo=jnp.asarray(t_dst_halo),
         inv_deg=jnp.asarray(inv_deg),
         serve=jnp.asarray(serve),
         offsets_local=tuple(offs_l),
@@ -197,7 +241,102 @@ def partition_nodes(graph: RelGraph, n_devices: int,
         num_nodes=num_nodes,
         num_relations=r_count,
         n_devices=n,
+        uniform_caps=bool(uniform_caps),
     )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _scan_accumulate(n_loc, aggregate_first, table, srcs, dsts, t_srcs,
+                     t_dsts, invs, w_all):
+    """sum_r norm(segment_sum_r(table)) @ W_r as a lax.scan over relations.
+
+    O(1) memory in R in BOTH directions: the forward's carry is the single
+    [n_loc, Dout] accumulator, and the custom backward runs its own scan
+    (recomputing each relation's partial, routing cotangents to source rows
+    through the precomputed per-shard transpose edge order as a SORTED
+    segment-sum). Without this, reverse-mode over an unrolled relation loop
+    materializes all R per-relation d_table cotangents before summing — a
+    measured 260 GB allocation at config-5 scale (R=50, n_loc=1.25M,
+    Dout=128, 8 devices).
+
+    Shapes: table [rows, Din] (rows = local or halo table incl. dummy);
+    srcs/dsts/t_srcs/t_dsts int32[R, cap]; invs [R, n_loc];
+    w_all [R, Din, Dout].
+    """
+
+    def body(carry, xs):
+        src_r, dst_r, _ts, _td, inv_r, w_r = xs
+        if aggregate_first:
+            part = jax.ops.segment_sum(
+                jnp.take(table, src_r, axis=0), dst_r,
+                num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+            return carry + (part * inv_r[:, None]) @ w_r, None
+        part = jax.ops.segment_sum(
+            jnp.take(table @ w_r, src_r, axis=0), dst_r,
+            num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+        return carry + part * inv_r[:, None], None
+
+    # Seed the carry from `table` so it carries the same varying-manual-axes
+    # set under check_vma=True shard_maps (a plain zeros carry is unvarying
+    # and fails the scan carry type check).
+    out0 = jnp.zeros((n_loc, w_all.shape[2]), table.dtype) \
+        + (table.ravel()[0] * 0)
+    out, _ = jax.lax.scan(body, out0,
+                          (srcs, dsts, t_srcs, t_dsts, invs, w_all))
+    return out
+
+
+def _scan_acc_fwd(n_loc, aggregate_first, table, srcs, dsts, t_srcs, t_dsts,
+                  invs, w_all):
+    out = _scan_accumulate(n_loc, aggregate_first, table, srcs, dsts,
+                           t_srcs, t_dsts, invs, w_all)
+    return out, (table, srcs, dsts, t_srcs, t_dsts, invs, w_all)
+
+
+def _scan_acc_bwd(n_loc, aggregate_first, res, g):
+    table, srcs, dsts, t_srcs, t_dsts, invs, w_all = res
+    rows = table.shape[0]
+
+    def body(d_table, xs):
+        src_r, dst_r, ts_r, td_r, inv_r, w_r = xs
+        if aggregate_first:
+            part = jax.ops.segment_sum(
+                jnp.take(table, src_r, axis=0), dst_r,
+                num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+            gw = g @ w_r.T                              # [n_loc, Din]
+            dw_r = (part * inv_r[:, None]).T @ g
+            d_inv_r = jnp.sum(part * gw, axis=1)
+            gv_pad = jnp.concatenate(
+                [gw * inv_r[:, None],
+                 jnp.zeros((1, gw.shape[1]), gw.dtype)], axis=0)
+            d_table = d_table + jax.ops.segment_sum(
+                jnp.take(gv_pad, td_r, axis=0), ts_r,
+                num_segments=rows, indices_are_sorted=True)
+        else:
+            tw = table @ w_r
+            part = jax.ops.segment_sum(
+                jnp.take(tw, src_r, axis=0), dst_r,
+                num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+            d_inv_r = jnp.sum(part * g, axis=1)
+            gv_pad = jnp.concatenate(
+                [g * inv_r[:, None],
+                 jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
+            d_tw = jax.ops.segment_sum(
+                jnp.take(gv_pad, td_r, axis=0), ts_r,
+                num_segments=rows, indices_are_sorted=True)
+            dw_r = table.T @ d_tw
+            d_table = d_table + d_tw @ w_r.T
+        return d_table, (dw_r, d_inv_r)
+
+    d_table, (dws, dinvs) = jax.lax.scan(
+        body, table * 0,  # zeros with table's varying axes (see fwd carry)
+        (srcs, dsts, t_srcs, t_dsts, invs, w_all))
+    f0 = jax.dtypes.float0
+    z = lambda a: np.zeros(a.shape, f0)  # noqa: E731
+    return (d_table, z(srcs), z(dsts), z(t_srcs), z(t_dsts), dinvs, dws)
+
+
+_scan_accumulate.defvjp(_scan_acc_fwd, _scan_acc_bwd)
 
 
 def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
@@ -229,6 +368,16 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
     aggregate_first = din <= dout
     out = x_loc @ layer_params["w_root"] + layer_params["bias"][None, :]
 
+    def accumulate_scan(out, table, src, dst, t_src, t_dst, offsets):
+        """Uniform-cap path: lax.scan over relations (O(1) memory in R)."""
+        r_count = sg.num_relations
+        cap = offsets[1] - offsets[0]
+        return out + _scan_accumulate(
+            n_loc, aggregate_first, table,
+            src.reshape(r_count, cap), dst.reshape(r_count, cap),
+            t_src.reshape(r_count, cap), t_dst.reshape(r_count, cap),
+            local["inv_deg"][:, :n_loc], w_rel)
+
     def accumulate(out, table, src, dst, offsets):
         """Fold one edge group's per-relation partials straight into `out`.
 
@@ -239,30 +388,49 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
         R of them — at config-5 scale (R=50, n_loc=1.25M) the stacked-parts
         variant allocated 16 GB/device and OOM'd.
         """
+        # jax.checkpoint per relation: without it autodiff saves every
+        # relation's normalized partial as the matmul residual — R x
+        # [n_loc, D] buffers (50 x [1.25M, 128] = 32 GB/device at config-5
+        # scale). Rematerializing trades one extra gather+segment-sum per
+        # relation in the backward for O(1) residual memory.
+        def one_rel(table, src_r, dst_r, inv_r, w_r):
+            if aggregate_first:
+                msg = jnp.take(table, src_r, axis=0)
+            else:
+                msg = jnp.take(table @ w_r, src_r, axis=0)
+            part = jax.ops.segment_sum(
+                msg, dst_r, num_segments=n_loc + 1,
+                indices_are_sorted=True)[:n_loc]
+            if aggregate_first:
+                return (part * inv_r) @ w_r
+            return part * inv_r
+
+        one_rel = jax.checkpoint(one_rel)
         for r in range(sg.num_relations):
             s, e = offsets[r], offsets[r + 1]
             if e == s:
                 continue
-            if aggregate_first:
-                msg = jnp.take(table, src[s:e], axis=0)
-            else:
-                msg = jnp.take(table @ w_rel[r], src[s:e], axis=0)
-            part = jax.ops.segment_sum(
-                msg, dst[s:e], num_segments=n_loc + 1,
-                indices_are_sorted=True)[:n_loc]
             inv = local["inv_deg"][r][:n_loc, None]
-            if aggregate_first:
-                out = out + (part * inv) @ w_rel[r]
-            else:
-                out = out + part * inv
+            out = out + one_rel(table, src[s:e], dst[s:e], inv, w_rel[r])
         return out
 
     # 2) local-source aggregation: no dependency on `recv`, so the
     #    collective overlaps with this entire phase.
+    # 3) halo-source aggregation (waits for the collective).
+    halo_table = None
+    if sg.uniform_caps:
+        out = accumulate_scan(out, x_pad, local["src_local"],
+                              local["dst_local"], local["t_src_local"],
+                              local["t_dst_local"], sg.offsets_local)
+        halo_table = jnp.concatenate(
+            [recv.reshape(-1, x_loc.shape[1]),
+             jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
+        out = accumulate_scan(out, halo_table, local["src_halo"],
+                              local["dst_halo"], local["t_src_halo"],
+                              local["t_dst_halo"], sg.offsets_halo)
+        return out
     out = accumulate(out, x_pad, local["src_local"],
                      local["dst_local"], sg.offsets_local)
-
-    # 3) halo-source aggregation (waits for the collective)
     halo_table = jnp.concatenate(
         [recv.reshape(-1, x_loc.shape[1]),
          jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
@@ -298,6 +466,8 @@ def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
 def _local_arrays(sg: NodeShardedGraph):
     return {"src_local": sg.src_local, "dst_local": sg.dst_local,
             "src_halo": sg.src_halo, "dst_halo": sg.dst_halo,
+            "t_src_local": sg.t_src_local, "t_dst_local": sg.t_dst_local,
+            "t_src_halo": sg.t_src_halo, "t_dst_halo": sg.t_dst_halo,
             "inv_deg": sg.inv_deg, "serve": sg.serve}
 
 

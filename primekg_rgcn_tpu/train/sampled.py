@@ -9,6 +9,7 @@ encoder — O(B * fanout^L) instead of O(E) per step, which is what makes the
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -59,9 +60,13 @@ def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto"):
         ccsr = csr
     # Budget: the per-relation fanout times the graph's typical number of
     # PRESENT relations per node — equal effective sample size without the
-    # R*f sentinel blowup. Rounded up to a lane-friendly multiple of 8.
+    # R*f sentinel blowup. Rounded up to a lane-friendly multiple of 8 and
+    # capped at 48: beyond that the estimator-variance gain is marginal
+    # while frontier memory grows linearly (the cap is what lets the
+    # 10M-node/100M-edge config train on ONE 16 GB chip).
     factor = max(1.0, ccsr.avg_present_relations)
-    budgets = tuple(-(-int(np.ceil(f * factor)) // 8) * 8 for f in fanouts)
+    budgets = tuple(min(-(-int(np.ceil(f * factor)) // 8) * 8, 48)
+                    for f in fanouts)
     return ccsr, budgets, True
 
 
@@ -84,7 +89,25 @@ def build_sampled_train_step(
 
     csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
 
-    def loss_fn(params, pos, key):
+    # The CSR tables must enter the jit as ARGUMENTS, not closure captures:
+    # on the hosted TPU backend, large captured constants are materialized
+    # in HOST memory and re-copied (plus gathered host-side) EVERY step —
+    # profiling showed ~400 ms/step of S(1)-space copies and fusions on the
+    # full-PrimeKG tables. Passed-in jax.Arrays stay device-resident.
+    if use_combined:
+        csr_arrays = (csr.row_start, csr.col, csr.rel, csr.deg_rel_flat,
+                      csr.deg_total)
+
+        def _rebuild(a):
+            return csr._replace(row_start=a[0], col=a[1], rel=a[2],
+                                deg_rel_flat=a[3], deg_total=a[4])
+    else:
+        csr_arrays = (csr.row_start, csr.row_count, csr.col)
+
+        def _rebuild(a):
+            return csr._replace(row_start=a[0], row_count=a[1], col=a[2])
+
+    def loss_fn(params, pos, key, csr):
         k_neg, k_sample, k_drop = jax.random.split(key, 3)
         heads, tails, rels, labels, weights = candidate_batch(
             k_neg, pos[:, 0], pos[:, 1], pos[:, 2], model_cfg.num_nodes,
@@ -106,14 +129,22 @@ def build_sampled_train_step(
         loss_sum, correct, count = bce_stats(scores, labels, weights)
         return loss_sum / count, correct / count
 
-    @jax.jit
-    def step(state: TrainState, pos_edges, key):
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, pos_edges, key)
+    # Donating the state halves resident memory (params + adam moments are
+    # 7.7 GB at 10M nodes; without aliasing, input and output state coexist
+    # and the 10M config cannot fit). Harmless no-op if the backend
+    # declines donation.
+    @partial(jax.jit, donate_argnums=(0,))
+    def _step(state: TrainState, pos_edges, key, csr_arrays):
+        (loss, acc), grads = jax.value_and_grad(
+            lambda p, e, k: loss_fn(p, e, k, _rebuild(csr_arrays)),
+            has_aux=True)(state.params, pos_edges, key)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
+
+    def step(state: TrainState, pos_edges, key):
+        return _step(state, pos_edges, key, csr_arrays)
 
     return step
 

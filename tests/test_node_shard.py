@@ -197,3 +197,53 @@ def test_node_sharded_encode_with_pallas_halo():
     ref = encoder_apply(params, graph, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_scan_accumulate_path_matches_unrolled():
+    """uniform_caps (lax.scan over relations, custom-VJP backward) must match
+    the unrolled path bit-for-tolerance in BOTH forward encode and the
+    training-step gradient update. Exercised at R=18 (the scan path's auto
+    threshold is R>=16 — the config-5 regime where the unrolled backward
+    materializes R stacked cotangents)."""
+    rng = np.random.default_rng(5)
+    n, r, e = 96, 18, 1200
+    graph = build_rel_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                            rng.integers(0, r, e), n, r,
+                            bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+
+    sg_scan = partition_nodes(graph, n_dev)          # auto: uniform at R=18
+    assert sg_scan.uniform_caps
+    sg_loop = partition_nodes(graph, n_dev, uniform_caps=False)
+    assert not sg_loop.uniform_caps
+
+    out_scan = build_node_sharded_forward(mesh, sg_scan, cfg)(params)
+    out_loop = build_node_sharded_forward(mesh, sg_loop, cfg)(params)
+    ref = encoder_apply(params, graph, cfg)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_loop),
+                               rtol=1e-5, atol=1e-6)
+
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    opt = optax.sgd(tcfg.lr)
+    batch = np.stack([
+        rng.integers(0, n, 64), rng.integers(0, n, 64),
+        rng.integers(0, r, 64), np.ones(64, np.int64)], 1).astype(np.int32)
+    key = jax.random.PRNGKey(9)
+    updated = []
+    for sg in (sg_scan, sg_loop):
+        step = build_node_sharded_train_step(mesh, sg, cfg, tcfg, opt)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        state = TrainState(p, opt.init(p), jnp.zeros((), jnp.int32))
+        state, (loss, _) = step(state, jnp.asarray(batch), key)
+        updated.append((float(loss), state.params))
+    assert updated[0][0] == pytest.approx(updated[1][0], rel=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(updated[0][1]),
+                     jax.tree_util.tree_leaves(updated[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-6)
