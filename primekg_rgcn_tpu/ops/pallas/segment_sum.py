@@ -50,6 +50,28 @@ SEG_K = 512
 SEG_TILE = 8192
 
 
+class ScheduleArrays(NamedTuple):
+    """Kernel schedule as plain arrays (numpy host-side or jnp device-side).
+
+    Every static the kernel needs is recoverable from shapes, so instances
+    can cross a ``shard_map`` boundary as ordinary (traced) operands: the
+    per-device schedules are precomputed on the host from the concrete edge
+    partition (the graph is static), padded to common shapes across devices,
+    stacked device-major, and sliced back to local views inside the mapped
+    body. ``rows = runs_dst.shape[1]``, ``n_pairs = pair_tile.shape[0]``,
+    ``k = rank.shape[2]``.
+    """
+
+    pair_tile: object     # int32[P]
+    pair_chunk: object    # int32[P]
+    pair_first: object    # int32[P]
+    pair_skip: object     # int32[P]
+    n_runs: object        # int32[n_chunks]
+    contiguous: object    # int32[n_chunks]
+    rank: object          # int32[n_chunks, 1, K]
+    runs_dst: object      # int32[n_chunks, rows, 1]
+
+
 class _Schedule(NamedTuple):
     """Host-precomputed kernel metadata for one (dst_host, num_segments)."""
 
@@ -117,6 +139,153 @@ def _build_schedule(dst_host: np.ndarray, num_segments: int,
         rows=rows,
         n_tiles=n_tiles,
     )
+
+
+def build_schedule_arrays(dst_host: np.ndarray,
+                          num_segments: int) -> ScheduleArrays:
+    """Host-precomputed schedule in the array form consumable by
+    :func:`segment_sum_from_schedule` (numpy leaves)."""
+    e = dst_host.shape[0]
+    k = SEG_K
+    s = _build_schedule(dst_host, num_segments, k, SEG_TILE)
+    return ScheduleArrays(
+        pair_tile=s.pair_tile, pair_chunk=s.pair_chunk,
+        pair_first=s.pair_first, pair_skip=s.pair_skip,
+        n_runs=s.n_runs, contiguous=s.contiguous,
+        rank=s.rank.reshape(e // k, 1, k),
+        runs_dst=s.runs_dst.reshape(e // k, s.rows, 1),
+    )
+
+
+def stack_schedules(per_dev, num_segments: int, tile: int = SEG_TILE
+                    ) -> ScheduleArrays:
+    """Stack per-device :class:`ScheduleArrays` device-major, padding each to
+    common static shapes so one compiled program serves every device.
+
+    Padding is behavior-neutral by construction: extra ``runs_dst`` rows are
+    never indexed (``rank < n_runs`` keeps their compaction partials exactly
+    zero, and per-run stores loop only to ``n_runs``); extra (tile, chunk)
+    pairs carry ``skip=1, first=0`` and revisit the last tile, which re-stores
+    its block unchanged.
+    """
+    n_tiles = -(-num_segments // tile)
+    rows = max(s.runs_dst.shape[1] for s in per_dev)
+    n_pairs = max(s.pair_tile.shape[0] for s in per_dev)
+
+    padded = []
+    for s in per_dev:
+        runs = s.runs_dst
+        if runs.shape[1] < rows:
+            pad = np.full((runs.shape[0], rows - runs.shape[1], 1),
+                          num_segments - 1, np.int32)
+            runs = np.concatenate([runs, pad], axis=1)
+        extra = n_pairs - s.pair_tile.shape[0]
+        pt = np.concatenate([s.pair_tile,
+                             np.full(extra, n_tiles - 1, np.int32)])
+        pc = np.concatenate([s.pair_chunk, np.zeros(extra, np.int32)])
+        pf = np.concatenate([s.pair_first, np.zeros(extra, np.int32)])
+        psk = np.concatenate([s.pair_skip, np.ones(extra, np.int32)])
+        padded.append(ScheduleArrays(pt, pc, pf, psk, s.n_runs, s.contiguous,
+                                     s.rank, runs))
+    return ScheduleArrays(*[np.stack([getattr(p, f) for p in padded])
+                            for f in ScheduleArrays._fields])
+
+
+def segment_sum_from_schedule(
+    msg,
+    sched: ScheduleArrays,
+    num_segments: int,
+    *,
+    mxu_dtype: jnp.dtype = jnp.float32,
+    interpret: bool = False,
+):
+    """Segment-sum of ``msg`` rows driven entirely by schedule ARRAYS.
+
+    Unlike :func:`sorted_segment_sum_pallas`, the segment ids never appear:
+    the schedule arrays (which may be traced values, e.g. local shards inside
+    ``shard_map``) carry the full grid/run structure, and all statics come
+    from their shapes. This is the entry point for sharded execution — see
+    ``parallel/edge_shard.py``.
+    """
+    e, d_dim = msg.shape
+    k, tile = SEG_K, SEG_TILE
+    if e % k:
+        raise ValueError(f"edge count {e} not a multiple of {k}")
+    if d_dim % 64:
+        raise ValueError(f"feature dim {d_dim} not a multiple of 64")
+    rows = sched.runs_dst.shape[1]
+    n_pairs = sched.pair_tile.shape[0]
+    n_tiles = -(-num_segments // tile)
+    out_rows = n_tiles * tile
+
+    if jax.default_backend() == "cpu":
+        interpret = True
+
+    try:
+        vma = jax.typeof(msg).vma
+    except AttributeError:
+        vma = None
+
+    if interpret and vma:
+        # Inside a vma-checked shard_map on the simulated CPU mesh the Pallas
+        # interpreter itself trips over mixed varying/invariant index ops
+        # (grid indices are invariant, prefetched schedules device-varying).
+        # Run an EXACT schedule-driven emulation instead: reconstruct each
+        # edge's segment id from (rank, runs_dst) — the correctness-critical
+        # host-precomputed metadata — and sorted-segment-sum. Real TPU
+        # multichip compiles the true kernel via Mosaic (no interpreter).
+        n_chunks = e // k
+        rank_flat = jnp.reshape(sched.rank, (e,))
+        runs_flat = jnp.reshape(sched.runs_dst, (n_chunks * rows,))
+        chunk_ids = jax.lax.pcast(
+            jnp.arange(e, dtype=jnp.int32) // k, tuple(vma), to="varying")
+        seg_ids = jnp.take(runs_flat, chunk_ids * rows + rank_flat)
+        return jax.ops.segment_sum(
+            msg.astype(jnp.float32), seg_ids, num_segments=num_segments,
+            indices_are_sorted=True)
+
+    def msg_index(p, *prefetch):
+        return prefetch[1][p], 0
+
+    def aux_index(p, *prefetch):
+        return prefetch[1][p], 0, 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec((k, d_dim), msg_index),
+            pl.BlockSpec((1, 1, k), aux_index),
+            pl.BlockSpec((1, rows, 1), aux_index),
+        ],
+        out_specs=pl.BlockSpec((tile, d_dim),
+                               lambda p, *prefetch: (prefetch[0][p], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, d_dim), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(_segment_kernel, tile=tile, k=k, rows=rows,
+                               mxu_dtype=mxu_dtype)
+    # Under a vma-checked shard_map the output's varying-axes set must be
+    # declared explicitly; it matches the message operand's (all inputs are
+    # device-varying there, all replicated outside).
+    try:
+        vma = jax.typeof(msg).vma
+    except AttributeError:
+        vma = None
+    out_shape = jax.ShapeDtypeStruct((out_rows, d_dim), jnp.float32, vma=vma)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(jnp.asarray(sched.pair_tile), jnp.asarray(sched.pair_chunk),
+      jnp.asarray(sched.pair_first), jnp.asarray(sched.pair_skip),
+      jnp.asarray(sched.n_runs), jnp.asarray(sched.contiguous),
+      msg.astype(jnp.float32), jnp.asarray(sched.rank),
+      jnp.asarray(sched.runs_dst))
+    return out[:num_segments]
 
 
 def _segment_kernel(tile_ref, chunk_ref, first_ref, skip_ref, n_runs_ref,
@@ -220,52 +389,12 @@ def sorted_segment_sum_pallas(
         # so 64-wide layers stream at their true width.
         raise ValueError(f"feature dim {d_dim} not a multiple of 64")
 
-    if jax.default_backend() == "cpu":
-        # No Mosaic on CPU (tests / simulated meshes): run interpreted.
-        interpret = True
-
-    k, tile = SEG_K, SEG_TILE
-    sched = _build_schedule(dst_host, num_segments, k, tile)
-    n_pairs = sched.pair_tile.shape[0]
-    out_rows = sched.n_tiles * tile
-    rows = sched.rows
-
-    rank_chunks = jnp.asarray(sched.rank.reshape(e // k, 1, k))
-    # Run destinations laid out (chunk, rows, 1): dynamic per-run reads index
-    # the sublane dimension (lane-dimension dynamic indexing is unsupported).
-    runs_chunks = jnp.asarray(sched.runs_dst.reshape(e // k, rows, 1))
-
-    # Flat 1-D prefetch arrays (2-D arrays would be lane-padded in SMEM).
-    def msg_index(p, *prefetch):
-        return prefetch[1][p], 0
-
-    def aux_index(p, *prefetch):
-        return prefetch[1][p], 0, 0
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(n_pairs,),
-        in_specs=[
-            pl.BlockSpec((k, d_dim), msg_index),
-            pl.BlockSpec((1, 1, k), aux_index),
-            pl.BlockSpec((1, rows, 1), aux_index),
-        ],
-        out_specs=pl.BlockSpec((tile, d_dim),
-                               lambda p, *prefetch: (prefetch[0][p], 0)),
-        scratch_shapes=[
-            pltpu.VMEM((rows, d_dim), jnp.float32),
-        ],
-    )
-
-    kernel = functools.partial(_segment_kernel, tile=tile, k=k, rows=rows,
-                               mxu_dtype=mxu_dtype)
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_rows, d_dim), jnp.float32),
-        interpret=interpret,
-    )(jnp.asarray(sched.pair_tile), jnp.asarray(sched.pair_chunk),
-      jnp.asarray(sched.pair_first), jnp.asarray(sched.pair_skip),
-      jnp.asarray(sched.n_runs), jnp.asarray(sched.contiguous),
-      msg.astype(jnp.float32), rank_chunks, runs_chunks)
-    return out[:num_segments]
+    # The run metadata + grid schedule are host-precomputed (the graph is
+    # static); the array form also serves shard_map (see
+    # segment_sum_from_schedule). Run destinations are laid out
+    # (chunk, rows, 1): dynamic per-run reads index the sublane dimension
+    # (lane-dimension dynamic indexing is unsupported); (tile, chunk) pair
+    # arrays are flat 1-D (2-D arrays would be lane-padded in SMEM).
+    sched = build_schedule_arrays(dst_host, num_segments)
+    return segment_sum_from_schedule(msg, sched, num_segments,
+                                     mxu_dtype=mxu_dtype, interpret=interpret)

@@ -51,7 +51,8 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
                             *, impl: str = "auto",
                             mxu_dtype=jnp.float32,
                             dst_host=None, t_src_host=None,
-                            scale=None, t_scale=None):
+                            scale=None, t_scale=None,
+                            sched=None, t_sched=None):
     """Fused sparse aggregation ``out[d] = sum_{e: dst[e]=d} x[src[e]]`` with a
     transpose-graph backward.
 
@@ -63,11 +64,50 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
     kernel in ops/pallas/segment_sum.py; ~2.5-3x faster on v5e), or "auto"
     (pallas when the index arrays are concrete at trace time and the edge
     count is chunk-aligned, else xla).
+
+    sched/t_sched: prebuilt forward/backward ``ScheduleArrays`` (see
+    ops/pallas/segment_sum.py). When given, the Pallas path runs even with
+    TRACED index arrays — this is how shard_map bodies reach the kernel: the
+    per-device schedules are host-precomputed from the concrete partition
+    and arrive as sharded operands (parallel/edge_shard.py).
     """
     from primekg_rgcn_tpu.ops.pallas.segment_sum import (
         SEG_K,
+        segment_sum_from_schedule,
         sorted_segment_sum_pallas,
     )
+
+    if sched is not None:
+        if t_sched is None:
+            raise ValueError("sched requires t_sched (transpose backward)")
+
+        def _run_sched(x, take_ids, s, seg_scale):
+            d_dim = x.shape[1]
+            pad = (-d_dim) % 64
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad)))
+            msg = jnp.take(x, take_ids, axis=0)
+            if seg_scale is not None:
+                msg = msg * seg_scale[:, None]
+            out = segment_sum_from_schedule(msg, s, num_segments,
+                                            mxu_dtype=mxu_dtype)
+            return out[:, :d_dim]
+
+        @jax.custom_vjp
+        def f_sched(x):
+            return _run_sched(x, src, sched, scale)
+
+        def fwd_sched(x):
+            return (_run_sched(x, src, sched, scale),
+                    jnp.zeros((0,), x.dtype))
+
+        def bwd_sched(res, g):
+            # Transpose graph: route output-row cotangents back to sources
+            # via the src-sorted edge list and its own schedule.
+            return (_run_sched(g, t_dst, t_sched, t_scale).astype(res.dtype),)
+
+        f_sched.defvjp(fwd_sched, bwd_sched)
+        return f_sched
 
     tsrc_host = t_src_host
     if impl in ("auto", "pallas"):

@@ -55,10 +55,30 @@ class ShardedGraph(NamedTuple):
     local_offsets: Tuple[int, ...]
     num_nodes: int
     num_relations: int
+    # Optional per-relation (fwd, bwd) Pallas ScheduleArrays, device-major
+    # stacked; None entries fall back to the XLA segment-sum. See
+    # shard_rel_graph(pallas=True).
+    sched: object = None
 
 
-def shard_rel_graph(graph: RelGraph, n_devices: int) -> ShardedGraph:
-    """Repartition a RelGraph into equal per-device edge shards (host-side)."""
+def shard_rel_graph(graph: RelGraph, n_devices: int,
+                    *, pallas: bool = False) -> ShardedGraph:
+    """Repartition a RelGraph into equal per-device edge shards (host-side).
+
+    pallas=True additionally precomputes, per relation bucket and per device,
+    the run-compaction kernel schedules for BOTH edge orders (dst-sorted
+    forward, src-sorted transpose backward), padded to common shapes across
+    devices and stacked device-major. Inside shard_map the index arrays are
+    traced, so the schedule cannot be derived there — precomputing it host
+    side from the concrete partition is what lets the sharded path use the
+    Pallas kernel at all (the alternative is the ~2.5-3x slower XLA scatter).
+    Buckets whose runs are too short to compact (avg in-degree ~1 on any
+    device) get no schedule and keep the XLA path, matching the
+    single-device auto heuristic.
+    """
+    from primekg_rgcn_tpu.ops.pallas.segment_sum import (
+        SEG_K, build_schedule_arrays, stack_schedules)
+
     if graph.norm_mode != "dense":
         raise NotImplementedError(
             "edge-sharded execution currently requires dense normalization; "
@@ -66,18 +86,22 @@ def shard_rel_graph(graph: RelGraph, n_devices: int) -> ShardedGraph:
     src = np.asarray(graph.src)
     dst = np.asarray(graph.dst)
     sentinel = graph.num_nodes
+    n_seg = graph.num_nodes + 1
+    align = SEG_K * n_devices if pallas else n_devices
 
     per_dev = [([], [], [], []) for _ in range(n_devices)]
     local_offsets = [0]
+    sched = [] if pallas else None
     for r in range(graph.num_relations):
         s, e = graph.bucket_slice(r)
         cap = e - s
-        cap_pad = -(-cap // n_devices) * n_devices
+        cap_pad = -(-cap // align) * align if cap else 0
         loc = cap_pad // n_devices
         bsrc = np.full(cap_pad, sentinel, np.int32)
         bdst = np.full(cap_pad, sentinel, np.int32)
         bsrc[:cap] = src[s:e]
         bdst[:cap] = dst[s:e]
+        fwd_s, bwd_s = [], []
         for d in range(n_devices):
             ls = bsrc[d * loc:(d + 1) * loc]
             ld = bdst[d * loc:(d + 1) * loc]
@@ -86,6 +110,15 @@ def shard_rel_graph(graph: RelGraph, n_devices: int) -> ShardedGraph:
             per_dev[d][1].append(ld)
             per_dev[d][2].append(ls[t_order])
             per_dev[d][3].append(ld[t_order])
+            if pallas and loc:
+                fwd_s.append(build_schedule_arrays(ld, n_seg))
+                bwd_s.append(build_schedule_arrays(ls[t_order], n_seg))
+        if pallas:
+            compactable = loc > 0 and all(
+                int(sc.n_runs.max()) <= 256 for sc in fwd_s + bwd_s)
+            sched.append((stack_schedules(fwd_s, n_seg),
+                          stack_schedules(bwd_s, n_seg))
+                         if compactable else None)
         local_offsets.append(local_offsets[-1] + loc)
 
     stack = lambda i: jnp.asarray(
@@ -99,6 +132,7 @@ def shard_rel_graph(graph: RelGraph, n_devices: int) -> ShardedGraph:
         local_offsets=tuple(local_offsets),
         num_nodes=graph.num_nodes,
         num_relations=graph.num_relations,
+        sched=tuple(sched) if pallas else None,
     )
 
 
@@ -108,6 +142,7 @@ def rgcn_layer_edge_sharded(
     local_edges: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
     sg: ShardedGraph,
     axis_name: str,
+    local_sched=None,
 ) -> jnp.ndarray:
     """One RGCN layer over this device's edge shard; exact via one psum.
 
@@ -116,6 +151,8 @@ def rgcn_layer_edge_sharded(
     transpose-graph aggregation and per-layer ordering as the single-device
     path (ops/rgcn_segment.py); mean normalization commutes with both the
     relation transform and the psum because all three are linear.
+    ``local_sched`` (per-relation (fwd, bwd) ScheduleArrays local views)
+    routes the aggregation through the Pallas run-compaction kernel.
     """
     from primekg_rgcn_tpu.ops.rgcn_segment import make_gather_segment_sum
 
@@ -133,9 +170,12 @@ def rgcn_layer_edge_sharded(
         if e == s:
             partials.append(None)
             continue
+        r_sched = local_sched[r] if local_sched is not None else None
         agg_op = make_gather_segment_sum(
             local_src[s:e], local_dst[s:e],
-            local_tsrc[s:e], local_tdst[s:e], n + 1)
+            local_tsrc[s:e], local_tdst[s:e], n + 1,
+            sched=None if r_sched is None else r_sched[0],
+            t_sched=None if r_sched is None else r_sched[1])
         inv_deg = sg.inv_in_deg[r][:n, None]
         if aggregate_first:
             partials.append(agg_op(x_pad)[:n] * inv_deg)
@@ -164,10 +204,10 @@ def rgcn_layer_edge_sharded(
 
 def _sharded_encoder(params, local_edges, sg: ShardedGraph,
                      cfg: ModelConfig, axis_name: str, dropout_rng=None,
-                     train: bool = False):
+                     train: bool = False, local_sched=None):
     x = params["encoder"]["node_emb"]
     x = rgcn_layer_edge_sharded(params["encoder"]["conv1"], x, local_edges,
-                                sg, axis_name)
+                                sg, axis_name, local_sched=local_sched)
     x = jax.nn.relu(x)
     if train and cfg.dropout > 0.0 and dropout_rng is not None:
         keep = 1.0 - cfg.dropout
@@ -175,7 +215,7 @@ def _sharded_encoder(params, local_edges, sg: ShardedGraph,
         mask = jax.random.bernoulli(dropout_rng, keep, x.shape)
         x = jnp.where(mask, x / keep, 0.0)
     x = rgcn_layer_edge_sharded(params["encoder"]["conv2"], x, local_edges,
-                                sg, axis_name)
+                                sg, axis_name, local_sched=local_sched)
     return x
 
 
@@ -197,13 +237,16 @@ def build_sharded_train_step(
     n_dev = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
+             in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name),
+                       P(), P()),
              out_specs=(P(), P(), (P(), P())),
              check_vma=True)
-    def _step(params, opt_state, edge_shard, batch_shard, key, dropout_key):
+    def _step(params, opt_state, edge_shard, sched_shard, batch_shard, key,
+              dropout_key):
         # Device-major global arrays [n_dev, ...] arrive as [1, ...] local
         # views inside shard_map; squeeze the leading device axis.
         local_edges = tuple(a[0] for a in edge_shard)
+        local_sched = jax.tree_util.tree_map(lambda a: a[0], sched_shard)
         batch = batch_shard[0]  # [B/n, 4]
 
         def loss_sums(p):
@@ -223,7 +266,7 @@ def build_sharded_train_step(
 
             node_emb = _sharded_encoder(p, local_edges, sg, model_cfg,
                                         axis_name, dropout_rng=dropout_key,
-                                        train=True)
+                                        train=True, local_sched=local_sched)
             he = jnp.take(node_emb, heads, axis=0)
             te = jnp.take(node_emb, tails, axis=0)
             re = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)
@@ -261,6 +304,8 @@ def build_sharded_train_step(
     edge_arrays = tuple(
         jax.device_put(a, edge_sharding)
         for a in (sg.src, sg.dst, sg.t_src, sg.t_dst))
+    sched_arrays = jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), edge_sharding), sg.sched)
 
     @jax.jit
     def step(params, opt_state, batch, key):
@@ -269,7 +314,8 @@ def build_sharded_train_step(
         b = batch.shape[0]
         batch_dm = batch.reshape(n_dev, b // n_dev, 4)
         params, opt_state, (loss, acc) = _step(
-            params, opt_state, edge_arrays, batch_dm, k_neg, k_drop)
+            params, opt_state, edge_arrays, sched_arrays, batch_dm, k_neg,
+            k_drop)
         return params, opt_state, (loss, acc)
 
     return step
@@ -284,16 +330,23 @@ def build_sharded_forward(
 ):
     """Jitted replicated-output full-graph encode over the edge-sharded graph."""
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name), P(axis_name)),
              out_specs=P(), check_vma=True)
-    def _encode(params, edge_shard):
+    def _encode(params, edge_shard, sched_shard):
         # shard_map presents the [n_dev, E_local] device-major arrays as
         # [1, E_local] local views; squeeze the leading device axis.
+        local_sched = jax.tree_util.tree_map(lambda a: a[0], sched_shard)
         return _sharded_encoder(params, tuple(a[0] for a in edge_shard), sg,
-                                model_cfg, axis_name, train=False)
+                                model_cfg, axis_name, train=False,
+                                local_sched=local_sched)
+
+    edge_sharding = NamedSharding(mesh, P(axis_name))
+    sched_arrays = jax.tree_util.tree_map(
+        lambda a: jax.device_put(jnp.asarray(a), edge_sharding), sg.sched)
 
     @jax.jit
     def encode(params):
-        return _encode(params, (sg.src, sg.dst, sg.t_src, sg.t_dst))
+        return _encode(params, (sg.src, sg.dst, sg.t_src, sg.t_dst),
+                       sched_arrays)
 
     return encode

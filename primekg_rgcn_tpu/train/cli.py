@@ -224,7 +224,7 @@ def main(argv=None):
             model_cfg, train_cfg, train_graph, full_graph, train_edges,
             val_edges, args.output_dir, shard=args.shard,
             n_devices=args.n_devices or None, halo_impl=args.halo_impl,
-            layer_fn=layer_fn)
+            agg_impl=args.impl, layer_fn=layer_fn)
     else:
         trainer = Trainer(model_cfg, train_cfg, train_graph, full_graph,
                           train_edges, val_edges, args.output_dir,

@@ -36,7 +36,7 @@ logger = logging.getLogger(__name__)
 
 def _build_step(shard: str, mesh, train_graph: RelGraph,
                 model_cfg: ModelConfig, train_cfg: TrainConfig, optimizer,
-                halo_impl: str = "xla"):
+                halo_impl: str = "xla", agg_impl: str = "auto"):
     """Uniform ``step(state, batch, key) -> (state, (loss, acc))``."""
     if shard == "edge":
         from primekg_rgcn_tpu.parallel.edge_shard import (
@@ -44,7 +44,16 @@ def _build_step(shard: str, mesh, train_graph: RelGraph,
             shard_rel_graph,
         )
 
-        sg = shard_rel_graph(train_graph, mesh.devices.size)
+        # Host-precomputed per-device Pallas schedules let the sharded step
+        # keep the run-compaction kernel (index arrays are traced inside
+        # shard_map, so the kernel cannot derive them there). "auto" enables
+        # them on TPU; on the simulated CPU mesh only an explicit "pallas"
+        # asks for them (the interpreted kernel adds nothing to a CPU run).
+        use_pallas = (agg_impl == "pallas" or
+                      (agg_impl == "auto" and
+                       jax.default_backend() != "cpu"))
+        sg = shard_rel_graph(train_graph, mesh.devices.size,
+                             pallas=use_pallas)
         raw = build_sharded_train_step(mesh, sg, model_cfg, train_cfg,
                                        optimizer)
 
@@ -80,7 +89,7 @@ class ShardedTrainer(Trainer):
                  train_edges: np.ndarray, val_edges: np.ndarray,
                  output_dir: str, *, shard: str = "edge",
                  n_devices: Optional[int] = None, halo_impl: str = "xla",
-                 layer_fn=None):
+                 agg_impl: str = "auto", layer_fn=None):
         super().__init__(model_cfg, train_cfg, train_graph, full_graph,
                          train_edges, val_edges, output_dir,
                          layer_fn=layer_fn)
@@ -89,7 +98,7 @@ class ShardedTrainer(Trainer):
         self.shard = shard
         self._sharded_step = _build_step(
             shard, self.mesh, train_graph, model_cfg, train_cfg,
-            self.optimizer, halo_impl=halo_impl)
+            self.optimizer, halo_impl=halo_impl, agg_impl=agg_impl)
 
         edges = train_edges.astype(np.int32)
         b = train_cfg.batch_size
