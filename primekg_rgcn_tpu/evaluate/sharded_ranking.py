@@ -74,3 +74,88 @@ def build_sharded_ranker(mesh: Mesh, node_emb: jnp.ndarray,
                      jnp.zeros(()))
 
     return rank
+
+
+def build_sharded_eval_from_sharded(mesh: Mesh, emb_dm, rel_emb,
+                                    num_nodes: int, *,
+                                    axis_name: str = "data"):
+    """Fully-sharded evaluation over an ALREADY-SHARDED entity table.
+
+    ``emb_dm`` is the device-major [n_dev, n_loc, D] encoder output exactly
+    as the node-sharded forward produces it (``gather=False``) — it is never
+    replicated or reshaped host-side, so the whole encode→rank/score pipeline
+    stays O(N/n) memory per device (the missing piece flagged in
+    docs/PARALLELISM.md: previously the ranker required a replicated
+    [N, D] input). Endpoint embeddings for queries are fetched with
+    owner-masked psums — O(B x D) ICI traffic, independent of N.
+
+    Returns ``(rank, score)``:
+      rank(heads, rels, true_tails) -> int32[B] 1-indexed raw ranks
+        (semantics of evaluate/metrics.py::ranks_of_true_tails; reference:
+        src/evaluate.py:264-276);
+      score(heads, tails, rels) -> float32[B] DistMult logits
+        (the classification-path scorer, reference: src/evaluate.py:120-150).
+    """
+    n_dev, n_loc, d = emb_dm.shape
+    rel_emb = jnp.asarray(rel_emb)
+
+    def _fetch(local, ids, my):
+        """Owner-masked psum row fetch: [B] global ids -> [B, D]."""
+        owner = ids // n_loc
+        idx = jnp.where(owner == my, ids - my * n_loc, 0)
+        rows = jnp.take(local, idx, axis=0)
+        rows = jnp.where((owner == my)[:, None], rows,
+                         jnp.zeros_like(rows))
+        return jax.lax.psum(rows, axis_name)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis_name), P(), P(), P()),
+             out_specs=P(), check_vma=True)
+    def _rank(emb_local, heads, rels, true_tails):
+        local = emb_local[0]                      # [n_loc, D]
+        my = jax.lax.axis_index(axis_name)
+        # Replicated id operands must be explicitly promoted before mixing
+        # with device-varying values (check_vma=True).
+        heads = jax.lax.pcast(heads, axis_name, to="varying")
+        true_tails = jax.lax.pcast(true_tails, axis_name, to="varying")
+        head_emb = _fetch(local, heads, my)
+        rel_vecs = jnp.take(rel_emb, rels, axis=0)
+        rel_vecs = jax.lax.pcast(rel_vecs, axis_name, to="varying")
+        scores_local = distmult_score_all_tails(head_emb, rel_vecs, local)
+        owner = true_tails // n_loc
+        loc_idx = jnp.where(owner == my, true_tails - my * n_loc, 0)
+        picked = scores_local[jnp.arange(true_tails.shape[0]), loc_idx]
+        true_scores = jax.lax.psum(
+            jnp.where(owner == my, picked, 0.0), axis_name)
+        valid = (my * n_loc + jnp.arange(n_loc)) < num_nodes
+        better = jnp.sum(
+            ((scores_local > true_scores[:, None]) & valid[None, :])
+            .astype(jnp.int32), axis=1)
+        return 1 + jax.lax.psum(better, axis_name)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis_name), P(), P(), P()),
+             out_specs=P(), check_vma=True)
+    def _score(emb_local, heads, tails, rels):
+        local = emb_local[0]
+        my = jax.lax.axis_index(axis_name)
+        heads = jax.lax.pcast(heads, axis_name, to="varying")
+        tails = jax.lax.pcast(tails, axis_name, to="varying")
+        he = _fetch(local, heads, my)
+        te = _fetch(local, tails, my)
+        re = jnp.take(rel_emb, rels, axis=0)
+        re = jax.lax.pcast(re, axis_name, to="varying")
+        s = jnp.sum(he * re * te, axis=-1)
+        # Every device holds the identical psum-assembled result; hand one
+        # replicated copy back.
+        return jax.lax.psum(s, axis_name) / n_dev
+
+    @jax.jit
+    def rank(heads, rels, true_tails):
+        return _rank(emb_dm, heads.astype(jnp.int32),
+                     rels.astype(jnp.int32), true_tails.astype(jnp.int32))
+
+    @jax.jit
+    def score(heads, tails, rels):
+        return _score(emb_dm, heads.astype(jnp.int32),
+                      tails.astype(jnp.int32), rels.astype(jnp.int32))
+
+    return rank, score

@@ -474,9 +474,16 @@ def _local_arrays(sg: NodeShardedGraph):
 def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
                                model_cfg: ModelConfig, *,
                                axis_name: str = "data",
-                               halo_impl: str = "xla"):
-    """Jitted full-graph encode returning replicated [N, hidden] output
-    (gathered across shards; for parity tests and small-N inference).
+                               halo_impl: str = "xla",
+                               gather: bool = True):
+    """Jitted full-graph encode.
+
+    gather=True returns the replicated [N, hidden] output (for parity tests
+    and small-N inference). gather=False returns the device-major
+    [n_dev, n_loc, hidden] jax.Array still sharded over the mesh axis — the
+    input contract of evaluate/sharded_ranking.build_sharded_eval_from_sharded,
+    keeping the encode->rank/score pipeline O(N/n) memory per device end to
+    end (no device ever materializes the full table).
 
     halo_impl: "xla" (lax.all_to_all) or "pallas" (remote-DMA kernel,
     ops/pallas/halo.py).
@@ -501,6 +508,8 @@ def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
     @jax.jit
     def encode(params):
         out = _encode(params, local_arrays)  # [n, n_loc, H]
+        if not gather:
+            return out
         return out.reshape(-1, out.shape[-1])[: sg.num_nodes]
 
     return encode

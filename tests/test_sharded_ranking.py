@@ -32,3 +32,61 @@ def test_sharded_ranks_match_single_device(n):
                                       jnp.take(rel_emb, rels, axis=0), emb)
     single = np.asarray(ranks_of_true_tails(scores, tails))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_fully_sharded_eval_pipeline_matches_single_device():
+    """node-sharded encode (gather=False) -> sharded rank/score with NO
+    replicated [N, D] table anywhere; parity with the single-device
+    encoder + ranking/scoring path."""
+    from primekg_rgcn_tpu.config import ModelConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.evaluate.sharded_ranking import (
+        build_sharded_eval_from_sharded,
+    )
+    from primekg_rgcn_tpu.models.rgcn import encoder_apply, init_params
+    from primekg_rgcn_tpu.parallel.node_shard import (
+        build_node_sharded_forward,
+        partition_nodes,
+    )
+
+    rng = np.random.default_rng(4)
+    num_nodes, num_rel, num_edges = 90, 3, 600
+    src = rng.integers(0, num_nodes, num_edges)
+    dst = rng.integers(0, num_nodes, num_edges)
+    rel = rng.integers(0, num_rel, num_edges)
+    graph = build_rel_graph(src, dst, rel, num_nodes, num_rel,
+                            bucket_pad_multiple=32)
+    cfg = ModelConfig(num_nodes=num_nodes, num_relations=num_rel,
+                      embedding_dim=8, hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    nsg = partition_nodes(graph, n_dev)
+    encode = build_node_sharded_forward(mesh, nsg, cfg, gather=False)
+    emb_dm = encode(params)                      # [n_dev, n_loc, H] sharded
+    assert emb_dm.shape[0] == n_dev
+
+    rel_emb = params["decoder"]["rel_emb"]
+    rank_fn, score_fn = build_sharded_eval_from_sharded(
+        mesh, emb_dm, rel_emb, num_nodes)
+
+    b = 40
+    heads = jnp.asarray(rng.integers(0, num_nodes, b))
+    rels = jnp.asarray(rng.integers(0, num_rel, b))
+    tails = jnp.asarray(rng.integers(0, num_nodes, b))
+
+    emb_single = encoder_apply(params, graph, cfg)
+    scores_all = distmult_score_all_tails(
+        jnp.take(emb_single, heads, axis=0),
+        jnp.take(rel_emb, rels, axis=0), emb_single)
+    ranks_single = np.asarray(ranks_of_true_tails(scores_all, tails))
+    scores_single = np.asarray(jnp.sum(
+        jnp.take(emb_single, heads, axis=0)
+        * jnp.take(rel_emb, rels, axis=0)
+        * jnp.take(emb_single, tails, axis=0), axis=-1))
+
+    np.testing.assert_array_equal(np.asarray(rank_fn(heads, rels, tails)),
+                                  ranks_single)
+    np.testing.assert_allclose(np.asarray(score_fn(heads, tails, rels)),
+                               scores_single, rtol=1e-4, atol=1e-5)
