@@ -203,10 +203,18 @@ def main(argv=None):
     if args.sample_fanouts:
         from primekg_rgcn_tpu.train.sampled import SampledTrainer
 
+        # Sampled multi-chip is data-parallel: any --shard layout request
+        # splits the seed batch (and thus the frontier) across the mesh.
+        sample_ndev = None
+        if args.shard != "none":
+            import jax as _jax
+
+            sample_ndev = args.n_devices or len(_jax.devices())
         trainer = SampledTrainer(model_cfg, train_cfg, train_graph,
                                  full_graph, train_edges, val_edges,
                                  args.output_dir,
-                                 fanouts=tuple(args.sample_fanouts))
+                                 fanouts=tuple(args.sample_fanouts),
+                                 n_devices=sample_ndev)
         trainer.train()
         logging.getLogger("train").info("Training completed successfully!")
         return

@@ -149,6 +149,119 @@ def build_sampled_train_step(
     return step
 
 
+def build_sampled_train_step_dp(
+    csr,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    *,
+    fanouts: Sequence[int] = (15, 10),
+    mode: str = "uniform",
+    layout: str = "auto",
+    axis_name: str = "data",
+):
+    """Data-parallel sampled step over a device mesh.
+
+    Sampling cost is per-seed independent, so the batch splits cleanly:
+    each device samples the L-hop frontiers of ITS B/n seeds, encodes them,
+    and scores its candidate slice; ONE psum combines the loss-sum
+    gradients (exact global masked-mean, same plumbing as
+    parallel/edge_shard.py). The frontier — the memory- and time-dominant
+    object in sampled mode — shrinks n-fold per device, which is the
+    scaling the single-chip path cannot offer (greenfield; the reference
+    has neither sampling nor any parallelism, SURVEY.md §2.4).
+
+    CSR tables are replicated operands (graph structure, read-only);
+    params/optimizer state are replicated with psummed gradients.
+    Returns jitted ``step(state, pos_edges [B, 3], key)``; B must divide by
+    the mesh size.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    if use_combined:
+        csr_arrays = (csr.row_start, csr.col, csr.rel, csr.deg_rel_flat,
+                      csr.deg_total)
+
+        def _rebuild(a):
+            return csr._replace(row_start=a[0], col=a[1], rel=a[2],
+                                deg_rel_flat=a[3], deg_total=a[4])
+    else:
+        csr_arrays = (csr.row_start, csr.row_count, csr.col)
+
+        def _rebuild(a):
+            return csr._replace(row_start=a[0], row_count=a[1], col=a[2])
+
+    n_dev = mesh.devices.size
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(axis_name), P()),
+             out_specs=(P(), P(), (P(), P())),
+             check_vma=True)
+    def _step(params, opt_state, csr_arrs, batch_shard, key):
+        pos = batch_shard[0]  # [B/n, 3] this device's seed slice
+        vary = lambda a: jax.lax.pcast(a, axis_name, to="varying")
+        csr_local = _rebuild(jax.tree_util.tree_map(vary, csr_arrs))
+        dev_key = jax.random.fold_in(vary(key),
+                                     jax.lax.axis_index(axis_name))
+
+        def loss_sums(p):
+            # Varying-promoted params: AD's transpose of the pcast psums the
+            # per-device loss-sum gradients (globally combined for free).
+            p = jax.tree_util.tree_map(vary, p)
+            k_neg, k_sample, k_drop = jax.random.split(dev_key, 3)
+            heads, tails, rels, labels, weights = candidate_batch(
+                k_neg, pos[:, 0], pos[:, 1], pos[:, 2],
+                model_cfg.num_nodes, train_cfg.num_neg_samples)
+            seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
+            if use_combined:
+                batch = sample_batch_combined(k_sample, csr_local, seeds,
+                                              fanouts, mode=mode)
+            else:
+                batch = sample_batch(k_sample, csr_local, seeds, fanouts,
+                                     mode=mode)
+            emb = encoder_apply_sampled(p, batch, model_cfg, train=True,
+                                        dropout_rng=k_drop)
+            m = heads.shape[0]
+            rel_emb = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)
+            scores = distmult_score(emb[:m], emb[m:], rel_emb)
+            loss_sum, correct, count = bce_stats(scores, labels, weights)
+            return loss_sum, (correct, count)
+
+        (loss_sum, (correct, count)), grads = jax.value_and_grad(
+            loss_sums, has_aux=True)(params)
+        total_count = jax.lax.psum(count, axis_name)
+        grads = jax.tree_util.tree_map(
+            lambda g: g / jnp.maximum(total_count, 1.0), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        loss = jax.lax.psum(loss_sum, axis_name) / jnp.maximum(
+            total_count, 1.0)
+        acc = jax.lax.psum(correct, axis_name) / jnp.maximum(
+            total_count, 1.0)
+        return params, opt_state, (loss, acc)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _jit_step(state: TrainState, batch_dm, key, csr_arrs):
+        params, opt_state, (loss, acc) = _step(
+            state.params, state.opt_state, csr_arrs, batch_dm, key)
+        return TrainState(params, opt_state, state.step + 1), (loss, acc)
+
+    def step(state: TrainState, pos_edges, key):
+        b = pos_edges.shape[0]
+        if b % n_dev:
+            raise ValueError(
+                f"batch size {b} must divide by the {n_dev}-device mesh")
+        batch_dm = pos_edges.reshape(n_dev, b // n_dev, 3)
+        return _jit_step(state, batch_dm, key, csr_arrays)
+
+    return step
+
+
 class SampledTrainer:
     """Host-driven mini-batch trainer over sampled neighborhoods.
 
@@ -158,7 +271,8 @@ class SampledTrainer:
     """
 
     def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
-                 val_edges, output_dir, *, fanouts=(15, 10), mode="uniform"):
+                 val_edges, output_dir, *, fanouts=(15, 10), mode="uniform",
+                 n_devices=None):
         import numpy as np
         from pathlib import Path
 
@@ -184,9 +298,16 @@ class SampledTrainer:
         params = init_params(k_init, model_cfg)
         self.state = TrainState(params, self.optimizer.init(params),
                                 jnp.zeros((), jnp.int32))
-        self.step_fn = build_sampled_train_step(
-            graph, model_cfg, train_cfg, self.optimizer, fanouts=fanouts,
-            mode=mode)
+        if n_devices and n_devices > 1:
+            from primekg_rgcn_tpu.parallel.mesh import make_mesh
+
+            self.step_fn = build_sampled_train_step_dp(
+                graph, model_cfg, train_cfg, self.optimizer,
+                make_mesh(n_devices), fanouts=fanouts, mode=mode)
+        else:
+            self.step_fn = build_sampled_train_step(
+                graph, model_cfg, train_cfg, self.optimizer, fanouts=fanouts,
+                mode=mode)
         from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
 
         self.eval_fn = build_eval_epoch(full_graph, np.asarray(val_edges),
@@ -218,8 +339,12 @@ class SampledTrainer:
                 self.key, k = jax.random.split(self.key)
                 self.state, (loss, acc) = self.step_fn(
                     self.state, jnp.asarray(self.train_edges[idx]), k)
-                losses.append(loss)
-            tr_loss = float(jnp.mean(jnp.stack(losses)))
+                # Fetch eagerly: keeping device refs pipelines every step's
+                # program, and in DP mode a deep queue of 8-participant
+                # collectives on an oversubscribed host trips XLA's 40 s
+                # rendezvous termination (observed on the 4-core CI host).
+                losses.append(float(loss))
+            tr_loss = float(np.mean(losses))
             self.key, k_val = jax.random.split(self.key)
             val_loss, val_acc = self.eval_fn(self.state.params, k_val)
             dt = time.time() - t0

@@ -231,3 +231,71 @@ def test_combined_training_step_learns():
         state, (loss, acc) = step(state, jnp.take(edges, bi, axis=0), k)
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sampled_dp_step_learns_and_scales_batch():
+    """Data-parallel sampled step over the 8-device mesh: runs, learns, and
+    each device consumes only its B/n seed slice (per-relation layout)."""
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step_dp
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device platform")
+
+    graph, cfg, params, csr, _ = _setup(e=800)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    opt = make_optimizer(tcfg)
+    mesh = make_mesh(len(jax.devices()))
+    step = build_sampled_train_step_dp(csr, cfg, tcfg, opt, mesh,
+                                       fanouts=[5, 3])
+
+    rng = np.random.default_rng(0)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    losses = []
+    key = jax.random.PRNGKey(0)
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    for i in range(15):
+        key, k = jax.random.split(key)
+        idx = rng.integers(0, len(edges), tcfg.batch_size)
+        state, (loss, acc) = step(state, jnp.asarray(edges[idx]), k)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_sampled_dp_step_combined_layout_runs():
+    """DP sampled step with the combined (relation-sparse) layout."""
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step_dp
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs multi-device platform")
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    tcfg = TrainConfig(batch_size=32, lr=1e-2)
+    opt = make_optimizer(tcfg)
+    mesh = make_mesh(len(jax.devices()))
+    step = build_sampled_train_step_dp(ccsr, cfg, tcfg, opt, mesh,
+                                       fanouts=[4, 3])
+
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    rng = np.random.default_rng(1)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    key = jax.random.PRNGKey(2)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        idx = rng.integers(0, len(edges), tcfg.batch_size)
+        state, (loss, acc) = step(state, jnp.asarray(edges[idx]), k)
+        assert np.isfinite(float(loss))
