@@ -60,6 +60,11 @@ def parse_args(argv=None):
                    help="enable neighbor-sampled mini-batch training with "
                         "these per-relation fanouts, outermost layer first "
                         "(e.g. --sample_fanouts 15 10)")
+    p.add_argument("--zero1", action="store_true",
+                   help="with --sample_fanouts and --shard: shard the "
+                        "embedding-table optimizer state (ZeRO-1) over the "
+                        "mesh — dense Adam at the 10M-node config exceeds "
+                        "one chip without it")
     # Multi-chip (SURVEY.md §2.4; the reference is single-device only,
     # reference: src/train.py:758-761)
     p.add_argument("--shard", choices=["none", "edge", "node"],
@@ -214,7 +219,7 @@ def main(argv=None):
                                  full_graph, train_edges, val_edges,
                                  args.output_dir,
                                  fanouts=tuple(args.sample_fanouts),
-                                 n_devices=sample_ndev)
+                                 n_devices=sample_ndev, zero1=args.zero1)
         trainer.train()
         logging.getLogger("train").info("Training completed successfully!")
         return

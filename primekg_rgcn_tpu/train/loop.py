@@ -46,15 +46,21 @@ class TrainState(NamedTuple):
     step: jnp.ndarray  # int32 scalar, global update count
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig,
+                   include_clip: bool = True) -> optax.GradientTransformation:
     """Optax chain matching the reference's optimizer semantics.
 
     torch.optim.Adam applies *coupled* L2 (weight decay added to the gradient
     before the moment updates); AdamW decouples it. Clipping happens on the
     raw accumulated gradient before the step (reference: src/train.py:311-317).
+
+    include_clip=False omits the global-norm clip stage: callers that shard
+    the optimizer state (train/sampled.py ZeRO-1) must clip on the FULL
+    gradient pytree before splitting it (the norm is global), then apply the
+    clip-free chain per shard.
     """
     parts = []
-    if cfg.grad_clip and cfg.grad_clip > 0:
+    if include_clip and cfg.grad_clip and cfg.grad_clip > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
     if cfg.optimizer == "adam":
         if cfg.weight_decay:
