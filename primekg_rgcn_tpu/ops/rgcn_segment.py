@@ -52,7 +52,8 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
                             mxu_dtype=jnp.float32,
                             dst_host=None, t_src_host=None,
                             scale=None, t_scale=None,
-                            sched=None, t_sched=None):
+                            sched=None, t_sched=None,
+                            t_num_segments=None):
     """Fused sparse aggregation ``out[d] = sum_{e: dst[e]=d} x[src[e]]`` with a
     transpose-graph backward.
 
@@ -70,7 +71,13 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
     TRACED index arrays — this is how shard_map bodies reach the kernel: the
     per-device schedules are host-precomputed from the concrete partition
     and arrive as sharded operands (parallel/edge_shard.py).
+
+    t_num_segments: backward output row count, when the gather table differs
+    from the scatter target (node-sharded halo aggregation gathers from the
+    received halo table but scatters into local rows; the transpose routes
+    cotangents back to HALO rows). Defaults to ``num_segments``.
     """
+    n_bwd = num_segments if t_num_segments is None else t_num_segments
     from primekg_rgcn_tpu.ops.pallas.segment_sum import (
         SEG_K,
         segment_sum_from_schedule,
@@ -81,7 +88,7 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
         if t_sched is None:
             raise ValueError("sched requires t_sched (transpose backward)")
 
-        def _run_sched(x, take_ids, s, seg_scale):
+        def _run_sched(x, take_ids, s, seg_scale, n_out):
             d_dim = x.shape[1]
             pad = (-d_dim) % 64
             if pad:
@@ -89,22 +96,23 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
             msg = jnp.take(x, take_ids, axis=0)
             if seg_scale is not None:
                 msg = msg * seg_scale[:, None]
-            out = segment_sum_from_schedule(msg, s, num_segments,
+            out = segment_sum_from_schedule(msg, s, n_out,
                                             mxu_dtype=mxu_dtype)
             return out[:, :d_dim]
 
         @jax.custom_vjp
         def f_sched(x):
-            return _run_sched(x, src, sched, scale)
+            return _run_sched(x, src, sched, scale, num_segments)
 
         def fwd_sched(x):
-            return (_run_sched(x, src, sched, scale),
+            return (_run_sched(x, src, sched, scale, num_segments),
                     jnp.zeros((0,), x.dtype))
 
         def bwd_sched(res, g):
             # Transpose graph: route output-row cotangents back to sources
             # via the src-sorted edge list and its own schedule.
-            return (_run_sched(g, t_dst, t_sched, t_scale).astype(res.dtype),)
+            return (_run_sched(g, t_dst, t_sched, t_scale,
+                               n_bwd).astype(res.dtype),)
 
         f_sched.defvjp(fwd_sched, bwd_sched)
         return f_sched
@@ -140,7 +148,7 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
         runs = 1 + (np.diff(chunks, axis=1) != 0).sum(axis=1)
         return int(runs.max()) > 256
 
-    def _run(x, take_ids, seg_ids, seg_host, seg_scale):
+    def _run(x, take_ids, seg_ids, seg_host, seg_scale, n_out):
         """Gather rows (optionally scaled per edge) then segment-sum. The
         Pallas path pads the *node* table (N rows) to a lane-aligned width
         before the gather so the edge message stream is written exactly once
@@ -154,22 +162,22 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
             if seg_scale is not None:
                 msg = msg * seg_scale[:, None]
             out = sorted_segment_sum_pallas(msg, seg_ids, seg_host,
-                                            num_segments, mxu_dtype=mxu_dtype)
+                                            n_out, mxu_dtype=mxu_dtype)
             return out[:, :d_dim]
         msg = jnp.take(x, take_ids, axis=0)
         if seg_scale is not None:
             msg = msg * seg_scale[:, None]
-        return jax.ops.segment_sum(msg, seg_ids, num_segments=num_segments,
+        return jax.ops.segment_sum(msg, seg_ids, num_segments=n_out,
                                    indices_are_sorted=True)
 
     @jax.custom_vjp
     def f(x):
-        return _run(x, src, dst, dst_host, scale)
+        return _run(x, src, dst, dst_host, scale, num_segments)
 
     def fwd(x):
         # Residual: a zero-size witness of the primal dtype so the cotangent
         # can be cast back (the segment-sum always accumulates in f32).
-        return (_run(x, src, dst, dst_host, scale),
+        return (_run(x, src, dst, dst_host, scale, num_segments),
                 jnp.zeros((0,), x.dtype))
 
     def bwd(res, g):
@@ -177,7 +185,8 @@ def make_gather_segment_sum(src, dst, t_src, t_dst, num_segments: int,
         # Same op on the transpose graph -> sorted segment-sum, not a scatter.
         # Per-edge scales are constants w.r.t. x, so the cotangent carries the
         # same scale in transpose order.
-        return (_run(g, t_dst, t_src, tsrc_host, t_scale).astype(res.dtype),)
+        return (_run(g, t_dst, t_src, tsrc_host, t_scale,
+                     n_bwd).astype(res.dtype),)
 
     f.defvjp(fwd, bwd)
     return f

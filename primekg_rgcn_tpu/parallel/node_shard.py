@@ -92,11 +92,16 @@ class NodeShardedGraph(NamedTuple):
     num_relations: int
     n_devices: int
     uniform_caps: bool
+    # Optional Pallas kernel schedules (pallas=True): {"local": ..., "halo":
+    # ...}, each a per-relation tuple of (fwd, bwd) device-major
+    # ScheduleArrays or None. See parallel/edge_shard.py for the pattern.
+    sched: object = None
 
 
 def partition_nodes(graph: RelGraph, n_devices: int,
                     *, pad_multiple: int = 256,
-                    uniform_caps: bool = None) -> NodeShardedGraph:
+                    uniform_caps: bool = None,
+                    pallas: bool = False) -> NodeShardedGraph:
     """Host-side partitioner (runs once per graph/mesh shape).
 
     ``uniform_caps`` pads every relation bucket to the same capacity so the
@@ -112,6 +117,11 @@ def partition_nodes(graph: RelGraph, n_devices: int,
     n = n_devices
     if uniform_caps is None:
         uniform_caps = graph.num_relations >= 16
+    if pallas:
+        # Kernel chunks are SEG_K=512 edges; per-relation caps must align.
+        from primekg_rgcn_tpu.ops.pallas.segment_sum import SEG_K
+
+        pad_multiple = max(pad_multiple, SEG_K)
     num_nodes = graph.num_nodes
     r_count = graph.num_relations
     n_loc = -(-num_nodes // n)
@@ -223,6 +233,45 @@ def partition_nodes(graph: RelGraph, n_devices: int,
                 TS[d, a:b] = S[d, a:b][order]
                 TD[d, a:b] = D_[d, a:b][order]
 
+    sched = None
+    if pallas and uniform_caps:
+        raise NotImplementedError(
+            "pallas schedules are wired for the unrolled (non-scan) layer; "
+            "the lax.scan-over-relations path (uniform_caps) would need "
+            "per-relation schedules padded to one stacked shape")
+    if pallas:
+        from primekg_rgcn_tpu.ops.pallas.segment_sum import (
+            build_schedule_arrays,
+            stack_schedules,
+        )
+
+        def group_sched(seg_fwd, seg_bwd, offs, n_fwd, n_bwd):
+            """Per-relation (fwd, bwd) stacked device-major schedules; None
+            where the bucket is empty or too run-sparse to compact."""
+            per_rel = []
+            for r in range(r_count):
+                a, b = offs[r], offs[r + 1]
+                if b == a:
+                    per_rel.append(None)
+                    continue
+                fwd = [build_schedule_arrays(seg_fwd[d, a:b], n_fwd)
+                       for d in range(n)]
+                bwd = [build_schedule_arrays(seg_bwd[d, a:b], n_bwd)
+                       for d in range(n)]
+                ok = all(int(s.n_runs.max()) <= 256 for s in fwd + bwd)
+                per_rel.append((stack_schedules(fwd, n_fwd),
+                                stack_schedules(bwd, n_bwd)) if ok else None)
+            return tuple(per_rel)
+
+        sched = {
+            "local": group_sched(dst_local, t_src_local, offs_l,
+                                 n_loc + 1, n_loc + 1),
+            # Halo backward scatters into the received-halo table, whose
+            # height differs from the local rows (t_num_segments).
+            "halo": group_sched(dst_halo, t_src_halo, offs_h,
+                                n_loc + 1, n * halo_p + 1),
+        }
+
     return NodeShardedGraph(
         src_local=jnp.asarray(src_local),
         dst_local=jnp.asarray(dst_local),
@@ -242,6 +291,7 @@ def partition_nodes(graph: RelGraph, n_devices: int,
         num_relations=r_count,
         n_devices=n,
         uniform_caps=bool(uniform_caps),
+        sched=sched,
     )
 
 
@@ -378,7 +428,8 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
             t_src.reshape(r_count, cap), t_dst.reshape(r_count, cap),
             local["inv_deg"][:, :n_loc], w_rel)
 
-    def accumulate(out, table, src, dst, offsets):
+    def accumulate(out, table, src, dst, t_src, t_dst, offsets,
+                   sched_group=None):
         """Fold one edge group's per-relation partials straight into `out`.
 
         Normalization and the relation transform are linear, so the local
@@ -387,31 +438,44 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
         immediately keeps peak memory at ONE [n_loc, D] partial instead of
         R of them — at config-5 scale (R=50, n_loc=1.25M) the stacked-parts
         variant allocated 16 GB/device and OOM'd.
-        """
-        # jax.checkpoint per relation: without it autodiff saves every
-        # relation's normalized partial as the matmul residual — R x
-        # [n_loc, D] buffers (50 x [1.25M, 128] = 32 GB/device at config-5
-        # scale). Rematerializing trades one extra gather+segment-sum per
-        # relation in the backward for O(1) residual memory.
-        def one_rel(table, src_r, dst_r, inv_r, w_r):
-            if aggregate_first:
-                msg = jnp.take(table, src_r, axis=0)
-            else:
-                msg = jnp.take(table @ w_r, src_r, axis=0)
-            part = jax.ops.segment_sum(
-                msg, dst_r, num_segments=n_loc + 1,
-                indices_are_sorted=True)[:n_loc]
-            if aggregate_first:
-                return (part * inv_r) @ w_r
-            return part * inv_r
 
-        one_rel = jax.checkpoint(one_rel)
+        Each relation runs the transpose-graph custom-VJP aggregation
+        (ops/rgcn_segment.py): the backward routes output-row cotangents
+        back to SOURCE rows through the per-shard src-sorted edge order as
+        a sorted segment-sum — XLA's generic transpose of the gather is an
+        unsorted scatter-add, the slowest op on TPU. For the halo group the
+        gather table (received halo rows) differs from the scatter target
+        (local rows), so the backward's segment count is the table height
+        (t_num_segments).
+        """
+        from primekg_rgcn_tpu.ops.rgcn_segment import make_gather_segment_sum
+
+        rows = table.shape[0]
         for r in range(sg.num_relations):
             s, e = offsets[r], offsets[r + 1]
             if e == s:
                 continue
+            r_sched = sched_group[r] if sched_group is not None else None
+            agg_op = make_gather_segment_sum(
+                src[s:e], dst[s:e], t_src[s:e], t_dst[s:e], n_loc + 1,
+                t_num_segments=rows,
+                sched=None if r_sched is None else r_sched[0],
+                t_sched=None if r_sched is None else r_sched[1])
             inv = local["inv_deg"][r][:n_loc, None]
-            out = out + one_rel(table, src[s:e], dst[s:e], inv, w_rel[r])
+
+            # jax.checkpoint per relation: without it autodiff saves every
+            # relation's normalized partial as the matmul residual — R x
+            # [n_loc, D] buffers. Rematerializing trades one extra
+            # aggregation per relation in the backward for O(1) residual
+            # memory. The op is PREBUILT outside and only CALLED inside the
+            # rematerialized function (creating a custom_vjp under an inner
+            # trace leaks tracers; calling one is fine).
+            def one_rel(table, inv_r, w_r, _op=agg_op):
+                if aggregate_first:
+                    return (_op(table)[:n_loc] * inv_r) @ w_r
+                return _op(table @ w_r)[:n_loc] * inv_r
+
+            out = out + jax.checkpoint(one_rel)(table, inv, w_rel[r])
         return out
 
     # 2) local-source aggregation: no dependency on `recv`, so the
@@ -429,13 +493,16 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                               local["dst_halo"], local["t_src_halo"],
                               local["t_dst_halo"], sg.offsets_halo)
         return out
-    out = accumulate(out, x_pad, local["src_local"],
-                     local["dst_local"], sg.offsets_local)
+    lsched = local.get("sched") or {}
+    out = accumulate(out, x_pad, local["src_local"], local["dst_local"],
+                     local["t_src_local"], local["t_dst_local"],
+                     sg.offsets_local, lsched.get("local"))
     halo_table = jnp.concatenate(
         [recv.reshape(-1, x_loc.shape[1]),
          jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
-    out = accumulate(out, halo_table, local["src_halo"],
-                     local["dst_halo"], sg.offsets_halo)
+    out = accumulate(out, halo_table, local["src_halo"], local["dst_halo"],
+                     local["t_src_halo"], local["t_dst_halo"],
+                     sg.offsets_halo, lsched.get("halo"))
     return out
 
 
@@ -468,7 +535,8 @@ def _local_arrays(sg: NodeShardedGraph):
             "src_halo": sg.src_halo, "dst_halo": sg.dst_halo,
             "t_src_local": sg.t_src_local, "t_dst_local": sg.t_dst_local,
             "t_src_halo": sg.t_src_halo, "t_dst_halo": sg.t_dst_halo,
-            "inv_deg": sg.inv_deg, "serve": sg.serve}
+            "inv_deg": sg.inv_deg, "serve": sg.serve,
+            "sched": sg.sched}
 
 
 def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
@@ -497,7 +565,7 @@ def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
              in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
              check_vma=(halo_impl != "pallas"))
     def _encode(params, local_arrays):
-        local = {k: v[0] for k, v in local_arrays.items()}
+        local = jax.tree_util.tree_map(lambda a: a[0], local_arrays)
         my = jax.lax.axis_index(axis_name)
         x = _sharded_encoder(params, sg, local, model_cfg, axis_name,
                              my_index=my, halo_impl=halo_impl)
@@ -542,7 +610,7 @@ def build_node_sharded_train_step(
              out_specs=(P(), P(), (P(), P())),
              check_vma=True)
     def _step(params, opt_state, local_arrays, batch_shard, key, drop_key):
-        local = {k: v[0] for k, v in local_arrays.items()}
+        local = jax.tree_util.tree_map(lambda a: a[0], local_arrays)
         batch = batch_shard[0]  # [B/n, 4]
         my = jax.lax.axis_index(axis_name)
 
@@ -597,8 +665,10 @@ def build_node_sharded_train_step(
             total_loss / jnp.maximum(total_count, 1.0),
             total_correct / jnp.maximum(total_count, 1.0))
 
-    sharded = {k: jax.device_put(v, NamedSharding(mesh, P(axis_name)))
-               for k, v in _local_arrays(sg).items()}
+    sharded = jax.tree_util.tree_map(
+        lambda v: jax.device_put(jnp.asarray(v),
+                                 NamedSharding(mesh, P(axis_name))),
+        _local_arrays(sg))
 
     @jax.jit
     def step(state: TrainState, batch, key):

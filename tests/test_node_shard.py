@@ -247,3 +247,44 @@ def test_scan_accumulate_path_matches_unrolled():
                      jax.tree_util.tree_leaves(updated[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_node_shard_pallas_schedule_encode_and_grads_match():
+    """partition_nodes(pallas=True): the non-scan layer runs the scheduled
+    kernel for both edge groups (halo backward has an asymmetric segment
+    count = the received-table height); encoder output and one training
+    step must match the schedule-free node-sharded path exactly."""
+    graph, cfg, params = _setup()
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    opt = make_optimizer(tcfg)
+
+    rng = np.random.default_rng(9)
+    b = 64
+    batch = jnp.asarray(np.stack([
+        rng.integers(0, cfg.num_nodes, b), rng.integers(0, cfg.num_nodes, b),
+        rng.integers(0, cfg.num_relations, b), np.ones(b, np.int64)
+    ], axis=1).astype(np.int32))
+
+    results = []
+    for pallas in (False, True):
+        sg = partition_nodes(graph, n_dev, pallas=pallas)
+        if pallas:
+            assert sg.sched is not None
+            assert any(x is not None for x in sg.sched["local"])
+        enc = build_node_sharded_forward(mesh, sg, cfg)
+        emb = np.asarray(enc(params))
+        step = build_node_sharded_train_step(mesh, sg, cfg, tcfg, opt)
+        st = TrainState(jax.tree_util.tree_map(jnp.copy, params),
+                        opt.init(params), jnp.zeros((), jnp.int32))
+        st, (loss, acc) = step(st, batch, jax.random.PRNGKey(3))
+        results.append((emb, float(loss), st.params))
+
+    (e0, l0, p0), (e1, l1, p1) = results
+    np.testing.assert_allclose(e0, e1, rtol=1e-5, atol=1e-6)
+    assert l0 == pytest.approx(l1, rel=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
