@@ -234,11 +234,6 @@ def partition_nodes(graph: RelGraph, n_devices: int,
                 TD[d, a:b] = D_[d, a:b][order]
 
     sched = None
-    if pallas and uniform_caps:
-        raise NotImplementedError(
-            "pallas schedules are wired for the unrolled (non-scan) layer; "
-            "the lax.scan-over-relations path (uniform_caps) would need "
-            "per-relation schedules padded to one stacked shape")
     if pallas:
         from primekg_rgcn_tpu.ops.pallas.segment_sum import (
             build_schedule_arrays,
@@ -263,13 +258,40 @@ def partition_nodes(graph: RelGraph, n_devices: int,
                                 stack_schedules(bwd, n_bwd)) if ok else None)
             return tuple(per_rel)
 
+        def group_sched_stacked(seg_fwd, seg_bwd, offs, n_fwd, n_bwd):
+            """Scan-path variant: ONE (fwd, bwd) pair whose fields carry a
+            leading [n_devices, R] so ``lax.scan`` can slice a relation per
+            step. All (device, relation) schedules are padded to common
+            rows/n_pairs (uniform caps guarantee a common chunk count).
+            Returns None (whole group falls back to XLA) if any bucket is
+            too run-sparse to compact — the scan body is one program for
+            every relation, so the choice cannot vary per relation."""
+            cap = offs[1] - offs[0]
+            if cap == 0:
+                return None
+
+            def build(seg, n_seg):
+                per = [build_schedule_arrays(seg[d, offs[r]:offs[r + 1]],
+                                             n_seg)
+                       for d in range(n) for r in range(r_count)]
+                if any(int(sc.n_runs.max()) > 256 for sc in per):
+                    return None
+                flat = stack_schedules(per, n_seg)
+                return type(flat)(*[
+                    a.reshape((n, r_count) + a.shape[1:]) for a in flat])
+
+            fwd = build(seg_fwd, n_fwd)
+            bwd = build(seg_bwd, n_bwd)
+            return (fwd, bwd) if fwd is not None and bwd is not None else None
+
+        gs = group_sched_stacked if uniform_caps else group_sched
         sched = {
-            "local": group_sched(dst_local, t_src_local, offs_l,
-                                 n_loc + 1, n_loc + 1),
+            "local": gs(dst_local, t_src_local, offs_l,
+                        n_loc + 1, n_loc + 1),
             # Halo backward scatters into the received-halo table, whose
             # height differs from the local rows (t_num_segments).
-            "halo": group_sched(dst_halo, t_src_halo, offs_h,
-                                n_loc + 1, n * halo_p + 1),
+            "halo": gs(dst_halo, t_src_halo, offs_h,
+                       n_loc + 1, n * halo_p + 1),
         }
 
     return NodeShardedGraph(
@@ -295,9 +317,25 @@ def partition_nodes(graph: RelGraph, n_devices: int,
     )
 
 
+def _seg_from_sched(tbl, ids, sched_r, n_seg):
+    """Gather rows of ``tbl`` at ``ids`` and segment-sum them through a
+    prebuilt kernel schedule (ops/pallas/segment_sum.py), lane-padding the
+    table so the message stream is written once at its final width."""
+    from primekg_rgcn_tpu.ops.pallas.segment_sum import (
+        segment_sum_from_schedule,
+    )
+
+    d = tbl.shape[1]
+    pad = (-d) % 64
+    if pad:
+        tbl = jnp.pad(tbl, ((0, 0), (0, pad)))
+    msg = jnp.take(tbl, ids, axis=0)
+    return segment_sum_from_schedule(msg, sched_r, n_seg)[:, :d]
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _scan_accumulate(n_loc, aggregate_first, table, srcs, dsts, t_srcs,
-                     t_dsts, invs, w_all):
+                     t_dsts, invs, w_all, sched_fwd, sched_bwd):
     """sum_r norm(segment_sum_r(table)) @ W_r as a lax.scan over relations.
 
     O(1) memory in R in BOTH directions: the forward's carry is the single
@@ -315,15 +353,16 @@ def _scan_accumulate(n_loc, aggregate_first, table, srcs, dsts, t_srcs,
     """
 
     def body(carry, xs):
-        src_r, dst_r, _ts, _td, inv_r, w_r = xs
-        if aggregate_first:
+        src_r, dst_r, _ts, _td, inv_r, w_r, sf_r, _sb_r = xs
+        tbl = table if aggregate_first else table @ w_r
+        if sf_r is None:
             part = jax.ops.segment_sum(
-                jnp.take(table, src_r, axis=0), dst_r,
+                jnp.take(tbl, src_r, axis=0), dst_r,
                 num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+        else:
+            part = _seg_from_sched(tbl, src_r, sf_r, n_loc + 1)[:n_loc]
+        if aggregate_first:
             return carry + (part * inv_r[:, None]) @ w_r, None
-        part = jax.ops.segment_sum(
-            jnp.take(table @ w_r, src_r, axis=0), dst_r,
-            num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
         return carry + part * inv_r[:, None], None
 
     # Seed the carry from `table` so it carries the same varying-manual-axes
@@ -332,58 +371,69 @@ def _scan_accumulate(n_loc, aggregate_first, table, srcs, dsts, t_srcs,
     out0 = jnp.zeros((n_loc, w_all.shape[2]), table.dtype) \
         + (table.ravel()[0] * 0)
     out, _ = jax.lax.scan(body, out0,
-                          (srcs, dsts, t_srcs, t_dsts, invs, w_all))
+                          (srcs, dsts, t_srcs, t_dsts, invs, w_all,
+                           sched_fwd, sched_bwd))
     return out
 
 
 def _scan_acc_fwd(n_loc, aggregate_first, table, srcs, dsts, t_srcs, t_dsts,
-                  invs, w_all):
+                  invs, w_all, sched_fwd, sched_bwd):
     out = _scan_accumulate(n_loc, aggregate_first, table, srcs, dsts,
-                           t_srcs, t_dsts, invs, w_all)
-    return out, (table, srcs, dsts, t_srcs, t_dsts, invs, w_all)
+                           t_srcs, t_dsts, invs, w_all, sched_fwd, sched_bwd)
+    return out, (table, srcs, dsts, t_srcs, t_dsts, invs, w_all,
+                 sched_fwd, sched_bwd)
 
 
 def _scan_acc_bwd(n_loc, aggregate_first, res, g):
-    table, srcs, dsts, t_srcs, t_dsts, invs, w_all = res
+    table, srcs, dsts, t_srcs, t_dsts, invs, w_all, sched_fwd, sched_bwd = res
     rows = table.shape[0]
 
     def body(d_table, xs):
-        src_r, dst_r, ts_r, td_r, inv_r, w_r = xs
+        src_r, dst_r, ts_r, td_r, inv_r, w_r, sf_r, sb_r = xs
+
+        def agg_fwd(tbl):
+            if sf_r is None:
+                return jax.ops.segment_sum(
+                    jnp.take(tbl, src_r, axis=0), dst_r,
+                    num_segments=n_loc + 1,
+                    indices_are_sorted=True)[:n_loc]
+            return _seg_from_sched(tbl, src_r, sf_r, n_loc + 1)[:n_loc]
+
+        def agg_bwd(gv):
+            if sb_r is None:
+                return jax.ops.segment_sum(
+                    jnp.take(gv, td_r, axis=0), ts_r,
+                    num_segments=rows, indices_are_sorted=True)
+            return _seg_from_sched(gv, td_r, sb_r, rows)
+
         if aggregate_first:
-            part = jax.ops.segment_sum(
-                jnp.take(table, src_r, axis=0), dst_r,
-                num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+            part = agg_fwd(table)
             gw = g @ w_r.T                              # [n_loc, Din]
             dw_r = (part * inv_r[:, None]).T @ g
             d_inv_r = jnp.sum(part * gw, axis=1)
             gv_pad = jnp.concatenate(
                 [gw * inv_r[:, None],
                  jnp.zeros((1, gw.shape[1]), gw.dtype)], axis=0)
-            d_table = d_table + jax.ops.segment_sum(
-                jnp.take(gv_pad, td_r, axis=0), ts_r,
-                num_segments=rows, indices_are_sorted=True)
+            d_table = d_table + agg_bwd(gv_pad)
         else:
-            tw = table @ w_r
-            part = jax.ops.segment_sum(
-                jnp.take(tw, src_r, axis=0), dst_r,
-                num_segments=n_loc + 1, indices_are_sorted=True)[:n_loc]
+            part = agg_fwd(table @ w_r)
             d_inv_r = jnp.sum(part * g, axis=1)
             gv_pad = jnp.concatenate(
                 [g * inv_r[:, None],
                  jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
-            d_tw = jax.ops.segment_sum(
-                jnp.take(gv_pad, td_r, axis=0), ts_r,
-                num_segments=rows, indices_are_sorted=True)
+            d_tw = agg_bwd(gv_pad)
             dw_r = table.T @ d_tw
             d_table = d_table + d_tw @ w_r.T
         return d_table, (dw_r, d_inv_r)
 
     d_table, (dws, dinvs) = jax.lax.scan(
         body, table * 0,  # zeros with table's varying axes (see fwd carry)
-        (srcs, dsts, t_srcs, t_dsts, invs, w_all))
+        (srcs, dsts, t_srcs, t_dsts, invs, w_all, sched_fwd, sched_bwd))
     f0 = jax.dtypes.float0
     z = lambda a: np.zeros(a.shape, f0)  # noqa: E731
-    return (d_table, z(srcs), z(dsts), z(t_srcs), z(t_dsts), dinvs, dws)
+    zs = lambda t: jax.tree_util.tree_map(z, t)  # noqa: E731
+    return (d_table, z(srcs), z(dsts), z(t_srcs), z(t_dsts), dinvs, dws,
+            zs(sched_fwd), zs(sched_bwd))
 
 
 _scan_accumulate.defvjp(_scan_acc_fwd, _scan_acc_bwd)
@@ -418,15 +468,20 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
     aggregate_first = din <= dout
     out = x_loc @ layer_params["w_root"] + layer_params["bias"][None, :]
 
-    def accumulate_scan(out, table, src, dst, t_src, t_dst, offsets):
-        """Uniform-cap path: lax.scan over relations (O(1) memory in R)."""
+    def accumulate_scan(out, table, src, dst, t_src, t_dst, offsets,
+                        scheds=None):
+        """Uniform-cap path: lax.scan over relations (O(1) memory in R).
+        ``scheds`` is the stacked (fwd, bwd) ScheduleArrays pair whose
+        fields lead with the relation axis (sliced one relation per scan
+        step)."""
         r_count = sg.num_relations
         cap = offsets[1] - offsets[0]
+        sf, sb = scheds if scheds is not None else (None, None)
         return out + _scan_accumulate(
             n_loc, aggregate_first, table,
             src.reshape(r_count, cap), dst.reshape(r_count, cap),
             t_src.reshape(r_count, cap), t_dst.reshape(r_count, cap),
-            local["inv_deg"][:, :n_loc], w_rel)
+            local["inv_deg"][:, :n_loc], w_rel, sf, sb)
 
     def accumulate(out, table, src, dst, t_src, t_dst, offsets,
                    sched_group=None):
@@ -483,15 +538,18 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
     # 3) halo-source aggregation (waits for the collective).
     halo_table = None
     if sg.uniform_caps:
+        lsched = local.get("sched") or {}
         out = accumulate_scan(out, x_pad, local["src_local"],
                               local["dst_local"], local["t_src_local"],
-                              local["t_dst_local"], sg.offsets_local)
+                              local["t_dst_local"], sg.offsets_local,
+                              lsched.get("local"))
         halo_table = jnp.concatenate(
             [recv.reshape(-1, x_loc.shape[1]),
              jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
         out = accumulate_scan(out, halo_table, local["src_halo"],
                               local["dst_halo"], local["t_src_halo"],
-                              local["t_dst_halo"], sg.offsets_halo)
+                              local["t_dst_halo"], sg.offsets_halo,
+                              lsched.get("halo"))
         return out
     lsched = local.get("sched") or {}
     out = accumulate(out, x_pad, local["src_local"], local["dst_local"],

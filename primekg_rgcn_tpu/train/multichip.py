@@ -69,12 +69,11 @@ def _build_step(shard: str, mesh, train_graph: RelGraph,
             partition_nodes,
         )
 
-        # Schedules only exist for the unrolled (non-scan) layer; the
-        # scan-over-relations path (R >= 16) keeps the XLA segment-sum.
+        # Both layer variants take schedules: the unrolled path per
+        # relation, the scan path as one stacked [R, ...] set.
         use_pallas = (agg_impl == "pallas" or
                       (agg_impl == "auto" and
-                       jax.default_backend() != "cpu")) and \
-            train_graph.num_relations < 16
+                       jax.default_backend() != "cpu"))
         sg = partition_nodes(train_graph, mesh.devices.size,
                              pallas=use_pallas)
         return build_node_sharded_train_step(mesh, sg, model_cfg, train_cfg,

@@ -288,3 +288,51 @@ def test_node_shard_pallas_schedule_encode_and_grads_match():
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_node_shard_pallas_schedule_scan_path_matches():
+    """R >= 16 engages the lax.scan-over-relations layer; pallas=True stacks
+    per-relation schedules with a leading relation axis so the scan slices
+    one per step. Encoder + train-step parity vs the schedule-free path."""
+    rng = np.random.default_rng(11)
+    n, r, e = 96, 18, 1400
+    graph = build_rel_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                            rng.integers(0, r, e), n, r,
+                            bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    opt = make_optimizer(tcfg)
+
+    b = 64
+    batch = jnp.asarray(np.stack([
+        rng.integers(0, n, b), rng.integers(0, n, b),
+        rng.integers(0, r, b), np.ones(b, np.int64)
+    ], axis=1).astype(np.int32))
+
+    results = []
+    for pallas in (False, True):
+        sg = partition_nodes(graph, n_dev, pallas=pallas)
+        assert sg.uniform_caps
+        if pallas:
+            assert sg.sched is not None and sg.sched["local"] is not None
+            # stacked fields lead with [n_devices, R]
+            assert sg.sched["local"][0].rank.shape[:2] == (n_dev, r)
+        enc = build_node_sharded_forward(mesh, sg, cfg)
+        emb = np.asarray(enc(params))
+        step = build_node_sharded_train_step(mesh, sg, cfg, tcfg, opt)
+        st = TrainState(jax.tree_util.tree_map(jnp.copy, params),
+                        opt.init(params), jnp.zeros((), jnp.int32))
+        st, (loss, _) = step(st, batch, jax.random.PRNGKey(6))
+        results.append((emb, float(loss), st.params))
+
+    (e0, l0, p0), (e1, l1, p1) = results
+    np.testing.assert_allclose(e0, e1, rtol=1e-5, atol=1e-6)
+    assert l0 == pytest.approx(l1, rel=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-5)
