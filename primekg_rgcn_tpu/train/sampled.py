@@ -70,6 +70,29 @@ def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto"):
     return ccsr, budgets, True
 
 
+def _csr_operands(csr, use_combined):
+    """(flat array tuple, rebuild fn) so CSR tables enter jit as ARGUMENTS.
+
+    On the hosted TPU backend, large captured constants are materialized in
+    HOST memory and re-copied (plus gathered host-side) EVERY step —
+    profiling showed ~400 ms/step of S(1)-space copies on the full-PrimeKG
+    tables. Passed-in jax.Arrays stay device-resident.
+    """
+    if use_combined:
+        arrays = (csr.row_start, csr.col, csr.rel, csr.deg_rel_flat,
+                  csr.deg_total)
+
+        def rebuild(a):
+            return csr._replace(row_start=a[0], col=a[1], rel=a[2],
+                                deg_rel_flat=a[3], deg_total=a[4])
+    else:
+        arrays = (csr.row_start, csr.row_count, csr.col)
+
+        def rebuild(a):
+            return csr._replace(row_start=a[0], row_count=a[1], col=a[2])
+    return arrays, rebuild
+
+
 def build_sampled_train_step(
     csr,
     model_cfg: ModelConfig,
@@ -89,23 +112,7 @@ def build_sampled_train_step(
 
     csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
 
-    # The CSR tables must enter the jit as ARGUMENTS, not closure captures:
-    # on the hosted TPU backend, large captured constants are materialized
-    # in HOST memory and re-copied (plus gathered host-side) EVERY step —
-    # profiling showed ~400 ms/step of S(1)-space copies and fusions on the
-    # full-PrimeKG tables. Passed-in jax.Arrays stay device-resident.
-    if use_combined:
-        csr_arrays = (csr.row_start, csr.col, csr.rel, csr.deg_rel_flat,
-                      csr.deg_total)
-
-        def _rebuild(a):
-            return csr._replace(row_start=a[0], col=a[1], rel=a[2],
-                                deg_rel_flat=a[3], deg_total=a[4])
-    else:
-        csr_arrays = (csr.row_start, csr.row_count, csr.col)
-
-        def _rebuild(a):
-            return csr._replace(row_start=a[0], row_count=a[1], col=a[2])
+    csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     def loss_fn(params, pos, key, csr):
         k_neg, k_sample, k_drop = jax.random.split(key, 3)
@@ -183,18 +190,7 @@ def build_sampled_train_step_dp(
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
 
     csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
-    if use_combined:
-        csr_arrays = (csr.row_start, csr.col, csr.rel, csr.deg_rel_flat,
-                      csr.deg_total)
-
-        def _rebuild(a):
-            return csr._replace(row_start=a[0], col=a[1], rel=a[2],
-                                deg_rel_flat=a[3], deg_total=a[4])
-    else:
-        csr_arrays = (csr.row_start, csr.row_count, csr.col)
-
-        def _rebuild(a):
-            return csr._replace(row_start=a[0], row_count=a[1], col=a[2])
+    csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     n_dev = mesh.devices.size
 
@@ -320,18 +316,7 @@ def build_sampled_train_step_zero1(
     from primekg_rgcn_tpu.train.loop import make_optimizer
 
     csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
-    if use_combined:
-        csr_arrays = (csr.row_start, csr.col, csr.rel, csr.deg_rel_flat,
-                      csr.deg_total)
-
-        def _rebuild(a):
-            return csr._replace(row_start=a[0], col=a[1], rel=a[2],
-                                deg_rel_flat=a[3], deg_total=a[4])
-    else:
-        csr_arrays = (csr.row_start, csr.row_count, csr.col)
-
-        def _rebuild(a):
-            return csr._replace(row_start=a[0], row_count=a[1], col=a[2])
+    csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     inner = make_optimizer(train_cfg, include_clip=False)
     n_dev = mesh.devices.size
