@@ -103,6 +103,34 @@ def comms_bytes_model(graph, model_cfg, n_devices: int,
                     "localize; the scalable layout",
         }
         result["node_over_edge_traffic"] = round(node_step / max(edge_step, 1), 4)
+
+    # Sampled data-parallel (train/sampled.py): the only collective is the
+    # grads psum (pcast transpose) over the full parameter pytree; ZeRO-1
+    # adds the all-gather that rebuilds the embedding table from the
+    # per-device updated slices (ring: each device ships its slice to n-1
+    # peers) but the same psum.  Param bytes computed exactly for the
+    # no-basis architecture (models/rgcn.py init_params).
+    p_emb = N * emb * f32
+    p_rest = (R * emb * hid + emb * hid + hid          # conv1
+              + R * hid * hid + hid * hid + hid        # conv2
+              + R * hid) * f32                         # decoder rel_emb
+    grads_psum = _ring_allreduce_bytes(p_emb + p_rest, n)
+    result["sampled_dp"] = {
+        "grads_psum_bytes": int(grads_psum),
+        "per_device_step_bytes": int(grads_psum),
+        "note": "frontier work splits n-fold; comms = one grads psum, "
+                "independent of graph size beyond the embedding table",
+    }
+    if n > 1:
+        n_loc = -(-N // n)
+        ag = (n - 1) * n_loc * emb * f32
+        result["sampled_zero1"] = {
+            "emb_allgather_bytes": int(ag),
+            "per_device_step_bytes": int(grads_psum + ag),
+            "per_device_moment_bytes_saved": int(2 * p_emb * (n - 1) / n),
+            "note": "adds the table-rebuild all-gather; buys an n-fold cut "
+                    "of the 2x-params Adam moment memory",
+        }
     return result
 
 
@@ -154,13 +182,41 @@ def measure_sim_mesh(scale: float = 0.25,
                                "throughput",
                  "layouts": {}}
 
-    for layout in ("edge", "node"):
+    for layout in ("edge", "node", "sampled-dp", "sampled-zero1"):
         rows = {}
         for n in device_counts:
             if n > len(jax.devices()):
                 continue
+            if layout.startswith("sampled") and n == 1:
+                continue  # DP variants need a mesh axis; single-chip path
+                # is benched separately (bench/suite.py sampled configs)
             mesh = make_mesh(n)
-            if layout == "edge":
+            if layout == "sampled-dp" or layout == "sampled-zero1":
+                from primekg_rgcn_tpu.train.sampled import (
+                    build_sampled_train_step_dp,
+                    build_sampled_train_step_zero1,
+                )
+
+                # The sampled steps donate their state; give each run its
+                # own copy so later layouts don't see deleted buffers.
+                p0 = jax.tree_util.tree_map(jnp.copy, params)
+                if layout == "sampled-dp":
+                    sstep = build_sampled_train_step_dp(
+                        graph, model_cfg, train_cfg, opt, mesh,
+                        fanouts=(5, 3))
+                    st0 = TrainState(p0, opt.init(p0),
+                                     jnp.zeros((), jnp.int32))
+                else:
+                    init_z1, sstep = build_sampled_train_step_zero1(
+                        graph, model_cfg, train_cfg, mesh, fanouts=(5, 3))
+                    st0 = init_z1(p0)
+                state = {"s": st0}
+
+                def run(i, _s=sstep, _st=state):
+                    _st["s"], (loss, _) = _s(_st["s"], batches(i)[:, :3],
+                                             jax.random.PRNGKey(i))
+                    return loss
+            elif layout == "edge":
                 sg = shard_rel_graph(graph, n)
                 step = build_sharded_train_step(mesh, sg, model_cfg,
                                                 train_cfg, opt)
