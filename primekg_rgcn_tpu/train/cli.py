@@ -220,6 +220,8 @@ def main(argv=None):
                                  args.output_dir,
                                  fanouts=tuple(args.sample_fanouts),
                                  n_devices=sample_ndev, zero1=args.zero1)
+        if args.resume:
+            trainer.resume(args.resume)
         trainer.train()
         logging.getLogger("train").info("Training completed successfully!")
         return

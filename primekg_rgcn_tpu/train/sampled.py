@@ -509,6 +509,22 @@ class SampledTrainer:
                                         layer_fn=rgcn_layer_segment)
         self.best_val_loss = float("inf")
         self.history = {"train_losses": [], "val_losses": []}
+        self.start_epoch = 0
+
+    def resume(self, path):
+        """Continue a run from a checkpoint written by this trainer (same
+        payload contract as train/loop.Trainer.resume; works for plain,
+        DP, and ZeRO-1 states — the optimizer-state pytree round-trips
+        whatever structure it was saved with)."""
+        from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
+
+        payload = ckpt_lib.load(path, example_state=self.state)
+        self.state = payload["state"]
+        self.start_epoch = payload["epoch"]
+        self.best_val_loss = payload["best_val_loss"]
+        self.history = payload["history"]
+        if "rng_key" in payload:
+            self.key = jnp.asarray(payload["rng_key"], dtype=jnp.uint32)
 
     def train(self):
         import logging
@@ -521,8 +537,8 @@ class SampledTrainer:
         b = cfg.batch_size
         n = len(self.train_edges)
         steps = -(-n // b)
-        rng = np.random.default_rng(cfg.seed)
-        for epoch in range(1, cfg.epochs + 1):
+        rng = np.random.default_rng(cfg.seed + self.start_epoch)
+        for epoch in range(self.start_epoch + 1, cfg.epochs + 1):
             t0 = time.time()
             perm = rng.permutation(n)
             losses = []
@@ -558,6 +574,7 @@ class SampledTrainer:
             payload = {"epoch": epoch, "state": self.state,
                        "best_val_loss": self.best_val_loss,
                        "best_val_acc": 0.0, "history": self.history,
+                       "rng_key": np.asarray(self.key).tolist(),
                        "model_config": self.model_cfg.to_dict(),
                        "train_config": self.train_cfg.to_dict()}
             if is_best:

@@ -346,3 +346,36 @@ def test_sampled_zero1_matches_dp_exactly():
                       jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_sampled_trainer_resume_continues_history(tmp_path):
+    """SampledTrainer.resume restores state/epoch/history (incl. ZeRO-1's
+    nested optimizer-state pytree) and continues where it stopped."""
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.sampled import SampledTrainer
+
+    graph, cfg, params, csr, _ = _setup(e=800)
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)[:400]
+    n_dev = len(jax.devices())
+
+    tcfg2 = TrainConfig(batch_size=64, lr=1e-2, epochs=2)
+    t1 = SampledTrainer(cfg, tcfg2, graph, graph, edges[:320], edges[320:],
+                        tmp_path / "run1", fanouts=(5, 3),
+                        n_devices=n_dev if n_dev > 1 else None,
+                        zero1=n_dev > 1)
+    t1.train()
+    assert len(t1.history["train_losses"]) == 2
+
+    tcfg3 = TrainConfig(batch_size=64, lr=1e-2, epochs=3)
+    t2 = SampledTrainer(cfg, tcfg3, graph, graph, edges[:320], edges[320:],
+                        tmp_path / "run2", fanouts=(5, 3),
+                        n_devices=n_dev if n_dev > 1 else None,
+                        zero1=n_dev > 1)
+    t2.resume(tmp_path / "run1" / "models" / "final_model")
+    assert t2.start_epoch == 2
+    t2.train()
+    # 2 restored + 1 new epoch of history.
+    assert len(t2.history["train_losses"]) == 3
