@@ -112,7 +112,21 @@ def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
         example_state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     with open(path.with_suffix(".msgpack"), "rb") as f:
-        state = serialization.from_bytes(example_state, f.read())
+        blob = f.read()
+    try:
+        state = serialization.from_bytes(example_state, blob)
+    except (ValueError, KeyError):
+        # Optimizer-state structure differs from the default-adam template
+        # (e.g. ZeRO-1's (rest_state, sharded emb_state) tuple,
+        # train/sampled.py). Restore template-free: params keep their exact
+        # tree; the raw opt-state dict is enough for evaluation/analysis and
+        # is re-placed by the step's shardings if training resumes through
+        # a matching trainer.
+        from primekg_rgcn_tpu.train.loop import TrainState
+
+        raw = serialization.msgpack_restore(blob)
+        state = TrainState(raw["params"], raw.get("opt_state"),
+                           jnp.asarray(raw.get("step", 0)))
     meta["state"] = state
     return meta
 

@@ -379,3 +379,31 @@ def test_sampled_trainer_resume_continues_history(tmp_path):
     t2.train()
     # 2 restored + 1 new epoch of history.
     assert len(t2.history["train_losses"]) == 3
+
+
+def test_zero1_checkpoint_loads_without_template(tmp_path):
+    """checkpoint.load must restore a ZeRO-1 checkpoint (non-default
+    opt_state structure) with example_state=None — the evaluate/analyze
+    path — falling back to template-free restore for params."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step_zero1
+
+    graph, cfg, params, csr, _ = _setup(e=800)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    mesh = make_mesh(len(jax.devices()))
+    init_z1, step = build_sampled_train_step_zero1(csr, cfg, tcfg, mesh,
+                                                   fanouts=[5, 3])
+    st = init_z1(params)
+    ckpt_lib.save(tmp_path / "z1", {
+        "epoch": 1, "state": st, "best_val_loss": 1.0, "best_val_acc": 0.0,
+        "history": {}, "model_config": cfg.to_dict(),
+        "train_config": tcfg.to_dict()})
+    payload = ckpt_lib.load(tmp_path / "z1")
+    restored = payload["state"].params
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
