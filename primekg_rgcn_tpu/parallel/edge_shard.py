@@ -143,6 +143,7 @@ def rgcn_layer_edge_sharded(
     sg: ShardedGraph,
     axis_name: str,
     local_sched=None,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
     """One RGCN layer over this device's edge shard; exact via one psum.
 
@@ -153,17 +154,26 @@ def rgcn_layer_edge_sharded(
     relation transform and the psum because all three are linear.
     ``local_sched`` (per-relation (fwd, bwd) ScheduleArrays local views)
     routes the aggregation through the Pallas run-compaction kernel.
+    ``compute_dtype=bfloat16`` runs the matmuls, aggregations AND the
+    psum in bf16 — on a pod that halves the dominant ICI payload (the
+    stacked [R, N, D] partial-aggregate all-reduce); the accumulator
+    returns to float32 at the layer boundary like the single-device path.
     """
     from primekg_rgcn_tpu.ops.rgcn_segment import make_gather_segment_sum
 
     local_src, local_dst, local_tsrc, local_tdst = local_edges
     n = sg.num_nodes
-    w_rel = materialize_relation_weights(layer_params)
+    w_rel = materialize_relation_weights(layer_params).astype(compute_dtype)
     din, dout = w_rel.shape[1], w_rel.shape[2]
-    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
+    xc = x.astype(compute_dtype)
+    x_pad = jnp.concatenate([xc, jnp.zeros((1, xc.shape[1]), xc.dtype)],
+                            axis=0)
 
-    out = x @ layer_params["w_root"] + layer_params["bias"][None, :]
+    out = xc @ layer_params["w_root"].astype(compute_dtype) \
+        + layer_params["bias"].astype(compute_dtype)[None, :]
     aggregate_first = din <= dout
+    mxu_dtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                 else jnp.float32)
     partials = []
     for r in range(sg.num_relations):
         s, e = sg.local_offsets[r], sg.local_offsets[r + 1]
@@ -174,13 +184,16 @@ def rgcn_layer_edge_sharded(
         agg_op = make_gather_segment_sum(
             local_src[s:e], local_dst[s:e],
             local_tsrc[s:e], local_tdst[s:e], n + 1,
+            mxu_dtype=mxu_dtype,
             sched=None if r_sched is None else r_sched[0],
             t_sched=None if r_sched is None else r_sched[1])
-        inv_deg = sg.inv_in_deg[r][:n, None]
+        inv_deg = sg.inv_in_deg[r][:n, None].astype(compute_dtype)
         if aggregate_first:
-            partials.append(agg_op(x_pad)[:n] * inv_deg)
+            partials.append(agg_op(x_pad).astype(compute_dtype)[:n]
+                            * inv_deg)
         else:
-            partials.append(agg_op(x_pad @ w_rel[r])[:n] * inv_deg)
+            partials.append(agg_op(x_pad @ w_rel[r]).astype(
+                compute_dtype)[:n] * inv_deg)
 
     if aggregate_first:
         # psum the [R, N, Din] normalized partial aggregates in one
@@ -194,20 +207,23 @@ def rgcn_layer_edge_sharded(
             out = out + stacked[i] @ w_rel[r]
             i += 1
     else:
-        total = jnp.zeros((n, dout), x.dtype)
+        total = jnp.zeros((n, dout), xc.dtype)
         for p in partials:
             if p is not None:
                 total = total + p
         out = out + jax.lax.psum(total, axis_name)
-    return out
+    return out.astype(jnp.float32)
 
 
 def _sharded_encoder(params, local_edges, sg: ShardedGraph,
                      cfg: ModelConfig, axis_name: str, dropout_rng=None,
                      train: bool = False, local_sched=None):
+    cdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+           else jnp.float32)
     x = params["encoder"]["node_emb"]
     x = rgcn_layer_edge_sharded(params["encoder"]["conv1"], x, local_edges,
-                                sg, axis_name, local_sched=local_sched)
+                                sg, axis_name, local_sched=local_sched,
+                                compute_dtype=cdt)
     x = jax.nn.relu(x)
     if train and cfg.dropout > 0.0 and dropout_rng is not None:
         keep = 1.0 - cfg.dropout
@@ -215,7 +231,8 @@ def _sharded_encoder(params, local_edges, sg: ShardedGraph,
         mask = jax.random.bernoulli(dropout_rng, keep, x.shape)
         x = jnp.where(mask, x / keep, 0.0)
     x = rgcn_layer_edge_sharded(params["encoder"]["conv2"], x, local_edges,
-                                sg, axis_name, local_sched=local_sched)
+                                sg, axis_name, local_sched=local_sched,
+                                compute_dtype=cdt)
     return x
 
 

@@ -441,17 +441,22 @@ _scan_accumulate.defvjp(_scan_acc_fwd, _scan_acc_bwd)
 
 def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                        sg: NodeShardedGraph, local: dict,
-                       axis_name: str, *, halo_impl: str = "xla"
+                       axis_name: str, *, halo_impl: str = "xla",
+                       compute_dtype: jnp.dtype = jnp.float32
                        ) -> jnp.ndarray:
     """One RGCN layer over this device's node shard (inside shard_map).
 
     Issues the halo all_to_all FIRST, aggregates the local-source edge group
     (independent of the collective, so the scheduler can overlap them), and
     only then consumes the received halo rows for the halo-source group.
+    ``compute_dtype=bfloat16`` additionally halves the halo-exchange ICI
+    payload (the serve rows ship in bf16); the accumulator returns to
+    float32 at the layer boundary, matching the single-device path.
     """
     n_loc = sg.n_loc
-    w_rel = materialize_relation_weights(layer_params)
+    w_rel = materialize_relation_weights(layer_params).astype(compute_dtype)
     din, dout = w_rel.shape[1], w_rel.shape[2]
+    x_loc = x_loc.astype(compute_dtype)
     x_pad = jnp.concatenate(
         [x_loc, jnp.zeros((1, x_loc.shape[1]), x_loc.dtype)], axis=0)
 
@@ -466,7 +471,8 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                                   concat_axis=0, tiled=True)
 
     aggregate_first = din <= dout
-    out = x_loc @ layer_params["w_root"] + layer_params["bias"][None, :]
+    out = x_loc @ layer_params["w_root"].astype(compute_dtype) \
+        + layer_params["bias"].astype(compute_dtype)[None, :]
 
     def accumulate_scan(out, table, src, dst, t_src, t_dst, offsets,
                         scheds=None):
@@ -481,7 +487,7 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
             n_loc, aggregate_first, table,
             src.reshape(r_count, cap), dst.reshape(r_count, cap),
             t_src.reshape(r_count, cap), t_dst.reshape(r_count, cap),
-            local["inv_deg"][:, :n_loc], w_rel, sf, sb)
+            local["inv_deg"][:, :n_loc].astype(compute_dtype), w_rel, sf, sb)
 
     def accumulate(out, table, src, dst, t_src, t_dst, offsets,
                    sched_group=None):
@@ -516,7 +522,7 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                 t_num_segments=rows,
                 sched=None if r_sched is None else r_sched[0],
                 t_sched=None if r_sched is None else r_sched[1])
-            inv = local["inv_deg"][r][:n_loc, None]
+            inv = local["inv_deg"][r][:n_loc, None].astype(compute_dtype)
 
             # jax.checkpoint per relation: without it autodiff saves every
             # relation's normalized partial as the matmul residual — R x
@@ -550,7 +556,7 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
                               local["dst_halo"], local["t_src_halo"],
                               local["t_dst_halo"], sg.offsets_halo,
                               lsched.get("halo"))
-        return out
+        return out.astype(jnp.float32)
     lsched = local.get("sched") or {}
     out = accumulate(out, x_pad, local["src_local"], local["dst_local"],
                      local["t_src_local"], local["t_dst_local"],
@@ -561,12 +567,14 @@ def node_sharded_layer(layer_params, x_loc: jnp.ndarray,
     out = accumulate(out, halo_table, local["src_halo"], local["dst_halo"],
                      local["t_src_halo"], local["t_dst_halo"],
                      sg.offsets_halo, lsched.get("halo"))
-    return out
+    return out.astype(jnp.float32)
 
 
 def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
                      cfg: ModelConfig, axis_name: str, *, train=False,
                      dropout_rng=None, my_index=None, halo_impl="xla"):
+    cdt = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+           else jnp.float32)
     enc = params["encoder"]
     # Local slice of the (replicated) embedding table.
     start = my_index * sg.n_loc
@@ -576,7 +584,7 @@ def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
                     cfg.embedding_dim))], axis=0)
     x = jax.lax.dynamic_slice_in_dim(emb_pad, start, sg.n_loc, axis=0)
     x = node_sharded_layer(enc["conv1"], x, sg, local, axis_name,
-                           halo_impl=halo_impl)
+                           halo_impl=halo_impl, compute_dtype=cdt)
     x = jax.nn.relu(x)
     if train and cfg.dropout > 0.0 and dropout_rng is not None:
         keep = 1.0 - cfg.dropout
@@ -584,7 +592,7 @@ def _sharded_encoder(params, sg: NodeShardedGraph, local: dict,
         mask = jax.random.bernoulli(k, keep, x.shape)
         x = jnp.where(mask, x / keep, 0.0)
     x = node_sharded_layer(enc["conv2"], x, sg, local, axis_name,
-                           halo_impl=halo_impl)
+                           halo_impl=halo_impl, compute_dtype=cdt)
     return x
 
 

@@ -165,3 +165,39 @@ def test_sharded_train_step_pallas_schedule_matches_xla():
                     jax.tree_util.tree_leaves(p_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_encode_bfloat16_both_layouts():
+    """compute_dtype=bfloat16 flows through BOTH sharded layers (halving
+    psum/halo ICI payloads on real hardware); outputs track the
+    single-device bf16 encoder within bf16 tolerance."""
+    from primekg_rgcn_tpu.parallel.node_shard import (
+        build_node_sharded_forward,
+        partition_nodes,
+    )
+
+    rng = np.random.default_rng(5)
+    num_nodes, num_relations, num_edges = 64, 3, 500
+    from primekg_rgcn_tpu.data.graph import build_rel_graph as _brg
+
+    graph = _brg(rng.integers(0, num_nodes, num_edges),
+                 rng.integers(0, num_nodes, num_edges),
+                 rng.integers(0, num_relations, num_edges),
+                 num_nodes, num_relations, bucket_pad_multiple=32)
+    cfg = ModelConfig(num_nodes=num_nodes, num_relations=num_relations,
+                      embedding_dim=8, hidden_dim=8, dropout=0.0,
+                      compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    single = np.asarray(encoder_apply(params, graph, cfg))
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+
+    sg = shard_rel_graph(graph, n_dev)
+    out_edge = np.asarray(build_sharded_forward(mesh, sg, cfg)(params))
+    np.testing.assert_allclose(out_edge, single, rtol=0.05, atol=0.05)
+
+    nsg = partition_nodes(graph, n_dev)
+    out_node = np.asarray(
+        build_node_sharded_forward(mesh, nsg, cfg)(params))
+    np.testing.assert_allclose(out_node, single, rtol=0.05, atol=0.05)
