@@ -244,18 +244,27 @@ def build_sharded_train_step(
     optimizer: optax.GradientTransformation,
     *,
     axis_name: str = "data",
+    accum_steps: int = 1,
 ):
     """Compile one data+edge-parallel training update.
 
     Returns ``step(state, batch, key) -> (state, (loss, acc))`` where
     ``batch`` is a replicated [B, 4] int32 array of (head, tail, rel, mask)
     rows; B must divide evenly by the mesh size (pad with mask=0 rows).
+
+    ``accum_steps > 1`` enables gradient accumulation with the reference's
+    semantics (micro-batch mean losses averaged over the group, reference:
+    src/train.py:303): ``batch`` is then [accum, B, 4] and ONE optimizer
+    update runs after a ``lax.scan`` over the micro-batches — the whole
+    group stays in one compiled program, so accumulation costs no extra
+    dispatches or collectives beyond the per-micro grads psum.
     """
     n_dev = mesh.devices.size
+    accum = max(int(accum_steps), 1)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name),
-                       P(), P()),
+             in_specs=(P(), P(), P(axis_name), P(axis_name),
+                       P(None, axis_name), P(), P()),
              out_specs=(P(), P(), (P(), P())),
              check_vma=True)
     def _step(params, opt_state, edge_shard, sched_shard, batch_shard, key,
@@ -264,9 +273,9 @@ def build_sharded_train_step(
         # views inside shard_map; squeeze the leading device axis.
         local_edges = tuple(a[0] for a in edge_shard)
         local_sched = jax.tree_util.tree_map(lambda a: a[0], sched_shard)
-        batch = batch_shard[0]  # [B/n, 4]
+        batches = batch_shard[:, 0]  # [accum, B/n, 4]
 
-        def loss_sums(p):
+        def loss_sums(p, batch, k_neg, k_drop):
             # Promote the replicated params to device-varying explicitly so
             # the VMA checker (check_vma=True) types the whole loss as
             # varying and AD's transpose of this pvary psums the per-device
@@ -276,20 +285,21 @@ def build_sharded_train_step(
                 lambda a: jax.lax.pcast(a, axis_name, to="varying"), p)
             # Fold the device index into the sampling key so negatives differ
             # across shards.
-            dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            dev_key = jax.random.fold_in(k_neg,
+                                         jax.lax.axis_index(axis_name))
             heads, tails, rels, labels, weights = candidate_batch(
                 dev_key, batch[:, 0], batch[:, 1], batch[:, 2], sg.num_nodes,
                 train_cfg.num_neg_samples, mask=batch[:, 3])
 
             node_emb = _sharded_encoder(p, local_edges, sg, model_cfg,
-                                        axis_name, dropout_rng=dropout_key,
+                                        axis_name, dropout_rng=k_drop,
                                         train=True, local_sched=local_sched)
             he = jnp.take(node_emb, heads, axis=0)
             te = jnp.take(node_emb, tails, axis=0)
             re = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)
             if model_cfg.decoder_dropout > 0.0:
                 keep = 1.0 - model_cfg.decoder_dropout
-                dk = jax.random.fold_in(dropout_key,
+                dk = jax.random.fold_in(k_drop,
                                         jax.lax.axis_index(axis_name) + 1)
                 m = jax.random.bernoulli(dk, keep, re.shape)
                 re = jnp.where(m, re / keep, 0.0)
@@ -297,23 +307,37 @@ def build_sharded_train_step(
             loss_sum, correct, count = bce_stats(scores, labels, weights)
             return loss_sum, (correct, count)
 
-        (loss_sum, (correct, count)), grads = jax.value_and_grad(
-            loss_sums, has_aux=True)(params)
+        def micro(carry, inp):
+            grad_acc, stats = carry
+            batch, i = inp
+            k_n = jax.random.fold_in(key, i)
+            k_d = jax.random.fold_in(dropout_key, i)
+            (loss_sum, (correct, count)), grads = jax.value_and_grad(
+                loss_sums, has_aux=True)(params, batch, k_n, k_d)
+            # Per-micro masked-mean gradient (the pvary transpose already
+            # psummed the per-device loss-sum gradients), accumulated.
+            total_count = jax.lax.psum(count, axis_name)
+            grad_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g / jnp.maximum(total_count, 1.0),
+                grad_acc, grads)
+            stats = (stats[0] + jax.lax.psum(loss_sum, axis_name),
+                     stats[1] + jax.lax.psum(correct, axis_name),
+                     stats[2] + total_count)
+            return (grad_acc, stats), None
 
-        # Exact global masked-mean gradient: the pvary transpose already
-        # psummed the per-device loss-sum gradients (grads are invariant /
-        # replicated totals); divide by the global weight count.
-        total_count = jax.lax.psum(count, axis_name)
-        grads = jax.tree_util.tree_map(
-            lambda g: g / jnp.maximum(total_count, 1.0), grads)
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (grad_acc, stats), _ = jax.lax.scan(
+            micro, (zero, (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))),
+            (batches, jnp.arange(accum)))
+        # Average micro-batch mean-gradients over the group (reference
+        # scales each loss by 1/accumulation_steps before backward).
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grad_acc)
 
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        total_loss = jax.lax.psum(loss_sum, axis_name)
-        total_correct = jax.lax.psum(correct, axis_name)
-        loss = total_loss / jnp.maximum(total_count, 1.0)
-        acc = total_correct / jnp.maximum(total_count, 1.0)
+        loss = stats[0] / jnp.maximum(stats[2], 1.0)
+        acc = stats[1] / jnp.maximum(stats[2], 1.0)
         return params, opt_state, (loss, acc)
 
     edge_sharding = NamedSharding(mesh, P(axis_name))
@@ -327,9 +351,12 @@ def build_sharded_train_step(
     @jax.jit
     def step(params, opt_state, batch, key):
         k_neg, k_drop = jax.random.split(key)
-        # batch arrives [B, 4]; reshape device-major for the shard_map split.
-        b = batch.shape[0]
-        batch_dm = batch.reshape(n_dev, b // n_dev, 4)
+        # batch arrives [B, 4] (or [accum, B, 4] when accumulating);
+        # reshape device-major for the shard_map split.
+        if batch.ndim == 2:
+            batch = batch[None]
+        b = batch.shape[1]
+        batch_dm = batch.reshape(accum, n_dev, b // n_dev, 4)
         params, opt_state, (loss, acc) = _step(
             params, opt_state, edge_arrays, sched_arrays, batch_dm, k_neg,
             k_drop)

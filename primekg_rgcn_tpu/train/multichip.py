@@ -54,8 +54,9 @@ def _build_step(shard: str, mesh, train_graph: RelGraph,
                        jax.default_backend() != "cpu"))
         sg = shard_rel_graph(train_graph, mesh.devices.size,
                              pallas=use_pallas)
-        raw = build_sharded_train_step(mesh, sg, model_cfg, train_cfg,
-                                       optimizer)
+        raw = build_sharded_train_step(
+            mesh, sg, model_cfg, train_cfg, optimizer,
+            accum_steps=train_cfg.gradient_accumulation_steps)
 
         def step(state: TrainState, batch, key):
             params, opt_state, (loss, acc) = raw(
@@ -68,6 +69,12 @@ def _build_step(shard: str, mesh, train_graph: RelGraph,
             build_node_sharded_train_step,
             partition_nodes,
         )
+
+        if train_cfg.gradient_accumulation_steps > 1:
+            logger.warning(
+                "gradient_accumulation_steps ignored by the node-sharded "
+                "step (memory already scales with the partition; raise "
+                "batch_size instead)")
 
         # Both layer variants take schedules: the unrolled path per
         # relation, the scan path as one stacked [R, ...] set.
@@ -123,21 +130,31 @@ class ShardedTrainer(Trainer):
         b = self.train_cfg.batch_size
         e = self._num_edges
         n_steps = -(-e // b)
+        # Edge layout accumulates inside the compiled step (reference
+        # semantics, parallel/edge_shard.py); node layout updates per batch.
+        accum = (max(self.train_cfg.gradient_accumulation_steps, 1)
+                 if self.shard == "edge" else 1)
+        n_updates = -(-n_steps // accum)
         k_perm, k_steps = jax.random.split(key)
         perm = np.asarray(jax.random.permutation(k_perm, e))
 
         loss_sum = acc_sum = weight = 0.0
         neg = self.train_cfg.num_neg_samples
-        for i in range(n_steps):
-            idx = perm[i * b:(i + 1) * b]
-            real = idx.shape[0]
-            batch = np.zeros((b, 4), np.int32)
-            batch[:real, :3] = self._edges[idx]
-            batch[:real, 3] = 1
-            k = jax.random.fold_in(k_steps, i)
+        for u in range(n_updates):
+            group = np.zeros((accum, b, 4), np.int32)
+            real_total = 0
+            for j in range(accum):
+                i = u * accum + j
+                idx = perm[i * b:(i + 1) * b]
+                real = idx.shape[0]
+                group[j, :real, :3] = self._edges[idx]
+                group[j, :real, 3] = 1
+                real_total += real
+            k = jax.random.fold_in(k_steps, u)
+            batch = group[0] if accum == 1 else group
             state, (loss, acc) = self._sharded_step(
                 state, jnp.asarray(batch), k)
-            count = real * (1 + neg)
+            count = real_total * (1 + neg)
             loss_sum += float(loss) * count
             acc_sum += float(acc) * count
             weight += count

@@ -201,3 +201,47 @@ def test_sharded_encode_bfloat16_both_layouts():
     out_node = np.asarray(
         build_node_sharded_forward(mesh, nsg, cfg)(params))
     np.testing.assert_allclose(out_node, single, rtol=0.05, atol=0.05)
+
+
+def test_sharded_gradient_accumulation_semantics():
+    """accum=2 with a fully-masked second micro-batch must produce exactly
+    half the SGD update of accum=1 on the same first micro-batch (micro
+    mean-gradients averaged over the group, reference semantics), and the
+    same reported loss (masked micro contributes no weight)."""
+    import optax
+
+    graph, cfg, params = _toy()
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg = shard_rel_graph(graph, n_dev)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2, grad_clip=0.0)
+    opt = optax.sgd(1e-2)
+
+    rng = np.random.default_rng(13)
+    b = 64
+    batch1 = np.stack([
+        rng.integers(0, cfg.num_nodes, b), rng.integers(0, cfg.num_nodes, b),
+        rng.integers(0, cfg.num_relations, b), np.ones(b, np.int64)
+    ], axis=1).astype(np.int32)
+    masked = np.zeros((b, 4), np.int32)
+    key = jax.random.PRNGKey(21)
+
+    step1 = build_sharded_train_step(mesh, sg, cfg, tcfg, opt)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    p1, _, (l1, _) = step1(p1, opt.init(p1), jnp.asarray(batch1), key)
+
+    step2 = build_sharded_train_step(mesh, sg, cfg, tcfg, opt,
+                                     accum_steps=2)
+    group = jnp.asarray(np.stack([batch1, masked]))
+    p2 = jax.tree_util.tree_map(jnp.copy, params)
+    p2, _, (l2, _) = step2(p2, opt.init(p2), group, key)
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for p0, a, c in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+        d1 = np.asarray(a) - np.asarray(p0)
+        d2 = np.asarray(c) - np.asarray(p0)
+        # atol: param deltas are ~1e-6 on ~0.1-magnitude f32 params, so a
+        # single ulp of parameter storage (~3e-8) dominates the comparison.
+        np.testing.assert_allclose(d2, d1 / 2, rtol=1e-3, atol=1e-7)
