@@ -27,16 +27,62 @@ from flax import serialization
 
 def save(path, payload: Dict[str, Any]) -> None:
     """Write a checkpoint. ``payload`` must contain "state" plus JSON-safe
-    metadata fields."""
+    metadata fields.
+
+    Both files are written to temporaries and atomically renamed, so a
+    SIGKILL mid-save can never leave a torn checkpoint (the kill-and-resume
+    drill in tests/test_kill_resume.py relies on this)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     state = payload["state"]
     state = jax.device_get(state)
-    with open(path.with_suffix(".msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(state))
+    blob = serialization.to_bytes(state)
+    tmp = path.with_suffix(".msgpack.tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    tmp.replace(path.with_suffix(".msgpack"))
     meta = {k: v for k, v in payload.items() if k != "state"}
-    with open(path.with_suffix(".json"), "w") as f:
+    tmp = path.with_suffix(".json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+    tmp.replace(path.with_suffix(".json"))
+
+
+_async_pool = None
+_pending = []
+
+
+def save_async(path, payload: Dict[str, Any]):
+    """Non-blocking :func:`save`.
+
+    The device->host transfer happens NOW (a consistent snapshot —
+    subsequent training steps cannot mutate what gets written; donated
+    buffers would otherwise be dead by write time), while serialization and
+    the disk write run on a single background thread. At 10M-node scale the
+    state is gigabytes and a blocking save stalls the step loop for
+    seconds; this is the flat-msgpack analogue of Orbax's async checkpoint.
+    Returns a future; call :func:`wait_for_saves` (or .result()) to drain —
+    the trainer drains at exit and before overwriting the same path.
+    """
+    global _async_pool
+    from concurrent.futures import ThreadPoolExecutor
+
+    if _async_pool is None:
+        _async_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save")
+    snapshot = dict(payload, state=jax.device_get(payload["state"]))
+    fut = _async_pool.submit(save, path, snapshot)
+    _pending.append(fut)
+    return fut
+
+
+def wait_for_saves() -> None:
+    """Block until every outstanding :func:`save_async` has hit disk (and
+    re-raise the first writer error, if any)."""
+    global _pending
+    pending, _pending = _pending, []
+    for fut in pending:
+        fut.result()
 
 
 def _is_torch_checkpoint(path: Path) -> bool:
@@ -92,6 +138,9 @@ def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
     rebuilt from the stored model_config, mirroring the reference's
     shape-driven reconstruction (reference: src/evaluate.py:672-708).
     """
+    # Read-after-write consistency with the async writer: drain any queued
+    # save before opening (no-op when nothing is pending).
+    wait_for_saves()
     path = Path(path)
     if _is_torch_checkpoint(path):
         return _load_torch(path)

@@ -402,13 +402,19 @@ class Trainer:
     def save_checkpoint(self, *, is_best=False, is_final=False,
                         filename: Optional[str] = None):
         payload = self._checkpoint_payload()
+        # Mid-training snapshots go through the async writer: the snapshot
+        # transfers to host immediately, serialization/disk IO overlaps the
+        # next epochs (a blocking save is seconds of stall at large N).
+        # Writes are atomic-rename, and the single writer thread keeps them
+        # ordered. The final save is synchronous and drains the queue.
         if not is_best and not is_final:
             name = filename or f"checkpoint_epoch_{self.epoch}"
-            ckpt_lib.save(self.checkpoint_dir / name, payload)
+            ckpt_lib.save_async(self.checkpoint_dir / name, payload)
         if is_best:
-            ckpt_lib.save(self.model_dir / "best_model", payload)
+            ckpt_lib.save_async(self.model_dir / "best_model", payload)
         if is_final:
             ckpt_lib.save(self.model_dir / "final_model", payload)
+            ckpt_lib.wait_for_saves()
 
     def resume(self, path: str):
         payload = ckpt_lib.load(path, example_state=self.state)

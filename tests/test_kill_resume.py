@@ -89,3 +89,36 @@ def test_kill_mid_training_then_resume(tmp_path):
     # The resumed segment must continue improving on the restored state, not
     # restart from a fresh init (fresh-init first-epoch loss ~0.693).
     assert losses[-1] < losses[0]
+
+
+def test_async_save_round_trip_and_drain(tmp_path):
+    """save_async writes the same loadable checkpoint as save; the snapshot
+    is taken at call time (later state mutations don't leak into the file);
+    wait_for_saves drains and surfaces writer errors."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
+    from primekg_rgcn_tpu.train.loop import TrainState
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32)}
+    state = TrainState(params, {"m": jnp.zeros(8)}, jnp.zeros((), jnp.int32))
+    payload = {"epoch": 1, "state": state, "best_val_loss": 0.5,
+               "best_val_acc": 0.0, "history": {"train_losses": [0.5]},
+               "model_config": {}, "train_config": {}}
+    fut = ckpt_lib.save_async(tmp_path / "ck", payload)
+    # Mutate AFTER submitting: the file must hold the original values.
+    params["w"] = params["w"] * 0
+    ckpt_lib.wait_for_saves()
+    assert fut.done() and fut.exception() is None
+
+    import json
+    meta = json.load(open(tmp_path / "ck.json"))
+    assert meta["epoch"] == 1
+    from flax import serialization
+
+    raw = serialization.msgpack_restore(
+        open(tmp_path / "ck.msgpack", "rb").read())
+    np.testing.assert_array_equal(raw["params"]["w"],
+                                  np.arange(8, dtype=np.float32))
