@@ -136,7 +136,10 @@ def partition_nodes(graph: RelGraph, n_devices: int,
     for d in range(n):
         mask = owner_dst == d
         s, t, r = src_g[mask], dst_g[mask], rel_g[mask]
-        order = np.lexsort((t, r))
+        # One combined-key sort instead of lexsort's two stable passes
+        # (r < R, t < num_nodes, so r*num_nodes + t is collision-free).
+        order = np.argsort(r.astype(np.int64) * num_nodes + t,
+                           kind="stable")
         s, t, r = s[order], t[order], r[order]
         is_local = s // n_loc == d
         per_dev.append(((s[is_local], t[is_local], r[is_local]),
@@ -187,26 +190,33 @@ def partition_nodes(graph: RelGraph, n_devices: int,
         order = np.argsort(req_cat, kind="stable")
         req_sorted, pos_sorted = req_cat[order], pos_cat[order]
 
-        def halo_slots(gids):
-            return pos_sorted[np.searchsorted(req_sorted, gids)]
+        # Edges are (rel, dst)-sorted, so per-relation buckets are slices
+        # found by ONE searchsorted over the relation column — the earlier
+        # per-relation boolean masks rescanned the full edge list R times
+        # (2*R*E/n element ops; the partitioner's dominant cost at the
+        # 100M-edge scale).
+        bl = np.searchsorted(lr, np.arange(r_count + 1))
+        bh = np.searchsorted(hr, np.arange(r_count + 1))
+        halo_slot_all = (pos_sorted[np.searchsorted(req_sorted, hs)]
+                         .astype(np.int32) if len(hs) else
+                         np.zeros(0, np.int32))
 
         for r in range(r_count):
-            ml = lr == r
-            c = int(ml.sum())
+            a, bnd = int(bl[r]), int(bl[r + 1])
+            c = bnd - a
             off = offs_l[r]
-            src_local[d, off:off + c] = ls[ml] - d * n_loc
-            dst_local[d, off:off + c] = lt[ml] - d * n_loc
+            src_local[d, off:off + c] = ls[a:bnd] - d * n_loc
+            dst_local[d, off:off + c] = lt[a:bnd] - d * n_loc
 
-            mh = hr == r
-            ch = int(mh.sum())
+            ah, bndh = int(bh[r]), int(bh[r + 1])
+            ch = bndh - ah
             offh = offs_h[r]
             if ch:
-                src_halo[d, offh:offh + ch] = halo_slots(hs[mh]).astype(
-                    np.int32)
-            dst_halo[d, offh:offh + ch] = ht[mh] - d * n_loc
+                src_halo[d, offh:offh + ch] = halo_slot_all[ah:bndh]
+            dst_halo[d, offh:offh + ch] = ht[ah:bndh] - d * n_loc
 
-            deg = np.bincount(lt[ml] - d * n_loc, minlength=n_loc + 1) \
-                + np.bincount(ht[mh] - d * n_loc, minlength=n_loc + 1)
+            deg = np.bincount(lt[a:bnd] - d * n_loc, minlength=n_loc + 1) \
+                + np.bincount(ht[ah:bndh] - d * n_loc, minlength=n_loc + 1)
             nz = deg > 0
             inv_deg[d, r, nz] = 1.0 / deg[nz]
             inv_deg[d, r, n_loc] = 0.0
@@ -219,19 +229,28 @@ def partition_nodes(graph: RelGraph, n_devices: int,
     # a SORTED segment-sum instead of a scatter (same trick as
     # ops/rgcn_segment.py, here per shard). Sentinel sources are the max
     # table index so they sort to the end and land on the dummy row.
-    t_src_local = np.empty_like(src_local)
-    t_dst_local = np.empty_like(dst_local)
-    t_src_halo = np.empty_like(src_halo)
-    t_dst_halo = np.empty_like(dst_halo)
+    # Start from copies (sentinel tails are already in place and sorted
+    # last by construction), then argsort only each bucket's REAL prefix —
+    # sorting the sentinel padding too costs cap/real extra comparisons,
+    # several-x on skew-padded buckets.
+    t_src_local = src_local.copy()
+    t_dst_local = dst_local.copy()
+    t_src_halo = src_halo.copy()
+    t_dst_halo = dst_halo.copy()
     for d in range(n):
         for r in range(r_count):
-            for (S, D_, TS, TD, offs) in (
-                    (src_local, dst_local, t_src_local, t_dst_local, offs_l),
-                    (src_halo, dst_halo, t_src_halo, t_dst_halo, offs_h)):
-                a, b = offs[r], offs[r + 1]
-                order = np.argsort(S[d, a:b], kind="stable")
-                TS[d, a:b] = S[d, a:b][order]
-                TD[d, a:b] = D_[d, a:b][order]
+            for (S, D_, TS, TD, offs, cnts) in (
+                    (src_local, dst_local, t_src_local, t_dst_local, offs_l,
+                     counts_l),
+                    (src_halo, dst_halo, t_src_halo, t_dst_halo, offs_h,
+                     counts_h)):
+                a = offs[r]
+                c = int(cnts[d, r])
+                if c == 0:
+                    continue
+                order = np.argsort(S[d, a:a + c], kind="stable")
+                TS[d, a:a + c] = S[d, a:a + c][order]
+                TD[d, a:a + c] = D_[d, a:a + c][order]
 
     sched = None
     if pallas:
