@@ -245,3 +245,27 @@ def test_sharded_gradient_accumulation_semantics():
         # atol: param deltas are ~1e-6 on ~0.1-magnitude f32 params, so a
         # single ulp of parameter storage (~3e-8) dominates the comparison.
         np.testing.assert_allclose(d2, d1 / 2, rtol=1e-3, atol=1e-7)
+
+
+def test_sharded_pallas_sparse_bucket_falls_back():
+    """A run-sparse bucket (avg in-degree ~1: more than 256 runs per
+    512-edge chunk on some device) must get NO schedule — the sharded step
+    silently keeps the XLA path for it and stays correct."""
+    rng = np.random.default_rng(17)
+    # 2000 nodes, 1 relation, 1500 edges -> nearly all runs length 1.
+    num_nodes, num_edges = 2000, 1500
+    graph = build_rel_graph(rng.integers(0, num_nodes, num_edges),
+                            rng.integers(0, num_nodes, num_edges),
+                            np.zeros(num_edges, np.int64),
+                            num_nodes, 1, bucket_pad_multiple=32)
+    cfg = ModelConfig(num_nodes=num_nodes, num_relations=1,
+                      embedding_dim=8, hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg = shard_rel_graph(graph, n_dev, pallas=True)
+    assert sg.sched is not None and sg.sched[0] is None  # fell back
+    out = build_sharded_forward(mesh, sg, cfg)(params)
+    single = encoder_apply(params, graph, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               rtol=1e-4, atol=1e-4)
