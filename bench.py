@@ -15,11 +15,26 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_EDGES_PER_S = 1_677_772 / (4.5 * 3600 / 100)  # ~10,356
+
+# The hosted TPU tunnel has been observed to wedge (device init blocks
+# forever). Fail FAST with a diagnostic instead of hanging the driver; 15
+# minutes comfortably covers a cold compile (~40 s) plus the 50-step run.
+_DEADLINE_S = 900
+
+
+def _watchdog():
+    time.sleep(_DEADLINE_S)
+    print(f"bench.py: no result within {_DEADLINE_S}s — "
+          "TPU backend unreachable/wedged", file=sys.stderr, flush=True)
+    os._exit(2)
 
 
 def main():
@@ -98,4 +113,5 @@ def main():
 
 
 if __name__ == "__main__":
+    threading.Thread(target=_watchdog, daemon=True).start()
     main()
