@@ -274,6 +274,60 @@ def bench_eval_ranking() -> Dict:
             "entities": n}
 
 
+def bench_sharded_step(agg: str = "pallas", scale: float = 1.0) -> Dict:
+    """Edge-sharded training step on a 1-device mesh: the exact multi-chip
+    program (shard_map + grad-psum plumbing + scheduled aggregation)
+    measured at its single-chip cost — a pod runs this same program n-wide.
+    Also the tracker for the hosted-backend collective anomaly logged in
+    docs/KERNELS.md ("The kernel inside shard_map")."""
+    import jax
+    import jax.numpy as jnp
+
+    from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.data.synthetic import bidirect, primekg_like
+    from primekg_rgcn_tpu.models.rgcn import init_params
+    from primekg_rgcn_tpu.parallel.edge_shard import (
+        build_sharded_train_step,
+        shard_rel_graph,
+    )
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.loop import make_optimizer
+
+    raw = primekg_like(seed=0, scale=scale)
+    src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
+    graph = build_rel_graph(src, dst, rel, raw["num_nodes"], 3)
+    cfg = ModelConfig(num_nodes=raw["num_nodes"], num_relations=3)
+    tcfg = TrainConfig(batch_size=1024)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(tcfg)
+    mesh = make_mesh(1)
+    sg = shard_rel_graph(graph, 1, pallas=(agg == "pallas"))
+    sstep = build_sharded_train_step(mesh, sg, cfg, tcfg, opt)
+
+    rng = np.random.default_rng(0)
+    b = tcfg.batch_size
+    holder = {"p": params, "o": opt.init(params),
+              "key": jax.random.PRNGKey(0)}
+
+    def step(i):
+        holder["key"], k = jax.random.split(holder["key"])
+        batch = np.zeros((b, 4), np.int32)
+        batch[:, 0] = rng.integers(0, cfg.num_nodes, b)
+        batch[:, 1] = rng.integers(0, cfg.num_nodes, b)
+        batch[:, 2] = rng.integers(0, 3, b)
+        batch[:, 3] = 1
+        holder["p"], holder["o"], (loss, _) = sstep(
+            holder["p"], holder["o"], jnp.asarray(batch), k)
+        return loss
+
+    dt = _timed_steps(step, 20)
+    return {"step_ms": round(dt * 1e3, 2),
+            "edges_per_s": round(b / dt, 1),
+            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2),
+            "agg": agg, "mesh": 1}
+
+
 CONFIGS: Dict[str, Callable[[], Dict]] = {
     "primekg-default": lambda: bench_full_batch(),
     "primekg-bases": lambda: bench_full_batch(num_bases=2),
@@ -285,6 +339,8 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),
+    "sharded-1dev-pallas": lambda: bench_sharded_step("pallas"),
+    "sharded-1dev-xla": lambda: bench_sharded_step("xla"),
 }
 
 
