@@ -301,11 +301,16 @@ def test_sampled_dp_step_combined_layout_runs():
         assert np.isfinite(float(loss))
 
 
-def test_sampled_zero1_matches_dp_exactly():
+@pytest.mark.parametrize("opt_kw", [
+    dict(optimizer="adam", grad_clip=1.0),
+    dict(optimizer="adamw", weight_decay=1e-4, grad_clip=0.5),
+])
+def test_sampled_zero1_matches_dp_exactly(opt_kw):
     """ZeRO-1 (embedding optimizer state sharded over the mesh) must
     reproduce the unsharded DP update: same RNG draws, grads psummed the
-    same way, per-slice Adam == full-table Adam (elementwise), global-norm
-    clip computed on the full pytree before splitting."""
+    same way, per-slice Adam == full-table Adam (elementwise; weight decay
+    included — it only reads the slice's own params), global-norm clip
+    computed on the full pytree before splitting."""
     from primekg_rgcn_tpu.config import TrainConfig
     from primekg_rgcn_tpu.parallel.mesh import make_mesh
     from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
@@ -318,7 +323,7 @@ def test_sampled_zero1_matches_dp_exactly():
         pytest.skip("needs multi-device platform")
 
     graph, cfg, params, csr, _ = _setup(e=800)
-    tcfg = TrainConfig(batch_size=64, lr=1e-2, grad_clip=1.0)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2, **opt_kw)
     opt = make_optimizer(tcfg)
     mesh = make_mesh(len(jax.devices()))
     step_dp = build_sampled_train_step_dp(csr, cfg, tcfg, opt, mesh,
