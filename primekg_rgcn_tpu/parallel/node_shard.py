@@ -698,13 +698,13 @@ def build_node_sharded_train_step(
         local = jax.tree_util.tree_map(lambda a: a[0], local_arrays)
         batch = batch_shard[0]  # [B/n, 4]
         my = jax.lax.axis_index(axis_name)
+        # Differentiate w.r.t. the varying params; ONE flat psum combines
+        # the per-device gradients below (one collective instead of one per
+        # parameter leaf via the pcast transpose — see edge_shard.py).
+        pv = jax.tree_util.tree_map(
+            lambda a: jax.lax.pcast(a, axis_name, to="varying"), params)
 
         def loss_sums(p):
-            # Explicit varying-promotion: the transpose of this pcast psums
-            # the per-device cotangents, so grads come back as replicated
-            # global totals (see edge_shard.py).
-            p = jax.tree_util.tree_map(
-                lambda a: jax.lax.pcast(a, axis_name, to="varying"), p)
             # Per-device batch slice + per-device key -> distinct negatives.
             dev_key = jax.random.fold_in(key, my)
             heads, tails, rels, labels, weights = candidate_batch(
@@ -736,19 +736,20 @@ def build_node_sharded_train_step(
             return loss_sum, (correct, count)
 
         (loss_sum, (correct, count)), grads = jax.value_and_grad(
-            loss_sums, has_aux=True)(params)
-        # grads are already the global loss-sum gradient (pcast transpose
-        # psums); normalize by the global masked example count.
-        total_count = jax.lax.psum(count, axis_name)
+            loss_sums, has_aux=True)(pv)
+        from jax.flatten_util import ravel_pytree
+
+        trio = jax.lax.psum(jnp.stack([loss_sum, correct, count]),
+                            axis_name)
+        total_count = jnp.maximum(trio[2], 1.0)
+        flat, unravel = ravel_pytree(grads)
         grads = jax.tree_util.tree_map(
-            lambda g: g / jnp.maximum(total_count, 1.0), grads)
+            lambda g: g / total_count,
+            unravel(jax.lax.psum(flat, axis_name)))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        total_loss = jax.lax.psum(loss_sum, axis_name)
-        total_correct = jax.lax.psum(correct, axis_name)
-        return params, opt_state, (
-            total_loss / jnp.maximum(total_count, 1.0),
-            total_correct / jnp.maximum(total_count, 1.0))
+        return params, opt_state, (trio[0] / total_count,
+                                   trio[1] / total_count)
 
     sharded = jax.tree_util.tree_map(
         lambda v: jax.device_put(jnp.asarray(v),

@@ -204,11 +204,12 @@ def build_sampled_train_step_dp(
         csr_local = _rebuild(jax.tree_util.tree_map(vary, csr_arrs))
         dev_key = jax.random.fold_in(vary(key),
                                      jax.lax.axis_index(axis_name))
+        # Differentiate w.r.t. the varying params and combine grads with ONE
+        # flat psum below (one latency-bound collective instead of one per
+        # parameter leaf via the pcast transpose).
+        pv = jax.tree_util.tree_map(vary, params)
 
         def loss_sums(p):
-            # Varying-promoted params: AD's transpose of the pcast psums the
-            # per-device loss-sum gradients (globally combined for free).
-            p = jax.tree_util.tree_map(vary, p)
             k_neg, k_sample, k_drop = jax.random.split(dev_key, 3)
             heads, tails, rels, labels, weights = candidate_batch(
                 k_neg, pos[:, 0], pos[:, 1], pos[:, 2],
@@ -229,16 +230,20 @@ def build_sampled_train_step_dp(
             return loss_sum, (correct, count)
 
         (loss_sum, (correct, count)), grads = jax.value_and_grad(
-            loss_sums, has_aux=True)(params)
-        total_count = jax.lax.psum(count, axis_name)
+            loss_sums, has_aux=True)(pv)
+        from jax.flatten_util import ravel_pytree
+
+        trio = jax.lax.psum(jnp.stack([loss_sum, correct, count]),
+                            axis_name)
+        total_count = jnp.maximum(trio[2], 1.0)
+        flat, unravel = ravel_pytree(grads)
         grads = jax.tree_util.tree_map(
-            lambda g: g / jnp.maximum(total_count, 1.0), grads)
+            lambda g: g / total_count,
+            unravel(jax.lax.psum(flat, axis_name)))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        loss = jax.lax.psum(loss_sum, axis_name) / jnp.maximum(
-            total_count, 1.0)
-        acc = jax.lax.psum(correct, axis_name) / jnp.maximum(
-            total_count, 1.0)
+        loss = trio[0] / total_count
+        acc = trio[1] / total_count
         return params, opt_state, (loss, acc)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -353,9 +358,9 @@ def build_sampled_train_step_zero1(
         my = jax.lax.axis_index(axis_name)
         dev_key = jax.random.fold_in(vary(key), my)
         emb_state_loc = jax.tree_util.tree_map(lambda a: a[0], emb_state)
+        pv = jax.tree_util.tree_map(vary, params)
 
         def loss_sums(p):
-            p = jax.tree_util.tree_map(vary, p)
             k_neg, k_sample, k_drop = jax.random.split(dev_key, 3)
             heads, tails, rels, labels, weights = candidate_batch(
                 k_neg, pos[:, 0], pos[:, 1], pos[:, 2],
@@ -376,10 +381,16 @@ def build_sampled_train_step_zero1(
             return loss_sum, (correct, count)
 
         (loss_sum, (correct, count)), grads = jax.value_and_grad(
-            loss_sums, has_aux=True)(params)
-        total_count = jax.lax.psum(count, axis_name)
+            loss_sums, has_aux=True)(pv)
+        from jax.flatten_util import ravel_pytree
+
+        trio = jax.lax.psum(jnp.stack([loss_sum, correct, count]),
+                            axis_name)
+        total_count = trio[2]
+        flat, unravel = ravel_pytree(grads)
         grads = jax.tree_util.tree_map(
-            lambda g: g / jnp.maximum(total_count, 1.0), grads)
+            lambda g: g / jnp.maximum(total_count, 1.0),
+            unravel(jax.lax.psum(flat, axis_name)))
 
         if train_cfg.grad_clip and train_cfg.grad_clip > 0:
             # Global norm over the FULL pytree, exactly as
@@ -422,10 +433,8 @@ def build_sampled_train_step_zero1(
         p_rest = optax.apply_updates(p_rest, upd_rest)
         params = _merge_emb(p_rest, new_emb)
 
-        loss = jax.lax.psum(loss_sum, axis_name) / jnp.maximum(
-            total_count, 1.0)
-        acc = jax.lax.psum(correct, axis_name) / jnp.maximum(
-            total_count, 1.0)
+        loss = trio[0] / jnp.maximum(total_count, 1.0)
+        acc = trio[1] / jnp.maximum(total_count, 1.0)
         emb_state_out = jax.tree_util.tree_map(lambda a: a[None],
                                                emb_state_loc)
         return params, rest_state, emb_state_out, (loss, acc)
