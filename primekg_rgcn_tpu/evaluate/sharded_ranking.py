@@ -66,12 +66,21 @@ def build_sharded_ranker(mesh: Mesh, node_emb: jnp.ndarray,
             .astype(jnp.int32), axis=1)
         return 1 + jax.lax.psum(better, axis_name)
 
+    node_emb_dev = jnp.asarray(node_emb)
+    rel_emb_dev = jnp.asarray(rel_emb)
+
+    # Tables enter the jit as ARGUMENTS (captured device arrays become
+    # duplicated lowering-time constants and per-call host restages on the
+    # hosted backend — see parallel/edge_shard.py).
     @jax.jit
+    def _jit_rank(emb_s, ne, re, heads, rels, true_tails):
+        head_emb = jnp.take(ne, heads, axis=0)
+        rel_vecs = jnp.take(re, rels, axis=0)
+        return _rank(emb_s, head_emb, rel_vecs, true_tails, jnp.zeros(()))
+
     def rank(heads, rels, true_tails):
-        head_emb = jnp.take(jnp.asarray(node_emb), heads, axis=0)
-        rel_vecs = jnp.take(jnp.asarray(rel_emb), rels, axis=0)
-        return _rank(emb_sh, head_emb, rel_vecs, true_tails.astype(jnp.int32),
-                     jnp.zeros(()))
+        return _jit_rank(emb_sh, node_emb_dev, rel_emb_dev, heads, rels,
+                         true_tails.astype(jnp.int32))
 
     return rank
 
@@ -148,14 +157,16 @@ def build_sharded_eval_from_sharded(mesh: Mesh, emb_dm, rel_emb,
         # replicated copy back.
         return jax.lax.psum(s, axis_name) / n_dev
 
-    @jax.jit
-    def rank(heads, rels, true_tails):
-        return _rank(emb_dm, heads.astype(jnp.int32),
-                     rels.astype(jnp.int32), true_tails.astype(jnp.int32))
+    _jit_rank = jax.jit(_rank)
+    _jit_score = jax.jit(_score)
 
-    @jax.jit
+    def rank(heads, rels, true_tails):
+        return _jit_rank(emb_dm, heads.astype(jnp.int32),
+                         rels.astype(jnp.int32),
+                         true_tails.astype(jnp.int32))
+
     def score(heads, tails, rels):
-        return _score(emb_dm, heads.astype(jnp.int32),
-                      tails.astype(jnp.int32), rels.astype(jnp.int32))
+        return _jit_score(emb_dm, heads.astype(jnp.int32),
+                          tails.astype(jnp.int32), rels.astype(jnp.int32))
 
     return rank, score

@@ -359,18 +359,26 @@ def build_sharded_train_step(
     sched_arrays = jax.tree_util.tree_map(
         lambda a: jax.device_put(jnp.asarray(a), edge_sharding), sg.sched)
 
+    # Graph arrays enter the jit as ARGUMENTS, not closure captures:
+    # captured device arrays become lowering-time constants — duplicated
+    # during XLA compilation (an OOM at config-5 scale: 7.6 GB of captured
+    # constants ballooned past 130 GB host RSS) and re-staged through the
+    # hosted tunnel every step (the measured ~400 ms/step S(1)-copy
+    # pathology first seen on the sampled path's CSR tables).
     @jax.jit
-    def step(params, opt_state, batch, key):
+    def _jit_step(params, opt_state, edge_arrs, sched_arrs, batch, key):
         k_neg, k_drop = jax.random.split(key)
-        # batch arrives [B, 4] (or [accum, B, 4] when accumulating);
-        # reshape device-major for the shard_map split.
-        if batch.ndim == 2:
-            batch = batch[None]
         b = batch.shape[1]
         batch_dm = batch.reshape(accum, n_dev, b // n_dev, 4)
-        params, opt_state, (loss, acc) = _step(
-            params, opt_state, edge_arrays, sched_arrays, batch_dm, k_neg,
-            k_drop)
+        return _step(params, opt_state, edge_arrs, sched_arrs, batch_dm,
+                     k_neg, k_drop)
+
+    def step(params, opt_state, batch, key):
+        # batch arrives [B, 4] (or [accum, B, 4] when accumulating).
+        if batch.ndim == 2:
+            batch = batch[None]
+        params, opt_state, (loss, acc) = _jit_step(
+            params, opt_state, edge_arrays, sched_arrays, batch, key)
         return params, opt_state, (loss, acc)
 
     return step
@@ -396,12 +404,15 @@ def build_sharded_forward(
                                 local_sched=local_sched)
 
     edge_sharding = NamedSharding(mesh, P(axis_name))
+    edge_arrays = tuple(jax.device_put(a, edge_sharding)
+                        for a in (sg.src, sg.dst, sg.t_src, sg.t_dst))
     sched_arrays = jax.tree_util.tree_map(
         lambda a: jax.device_put(jnp.asarray(a), edge_sharding), sg.sched)
 
-    @jax.jit
+    # Arrays as jit ARGUMENTS (see build_sharded_train_step).
+    _jit_encode = jax.jit(lambda p, ea, sa: _encode(p, ea, sa))
+
     def encode(params):
-        return _encode(params, (sg.src, sg.dst, sg.t_src, sg.t_dst),
-                       sched_arrays)
+        return _jit_encode(params, edge_arrays, sched_arrays)
 
     return encode

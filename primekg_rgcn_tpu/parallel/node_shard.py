@@ -658,12 +658,19 @@ def build_node_sharded_forward(mesh: Mesh, sg: NodeShardedGraph,
 
     local_arrays = _local_arrays(sg)
 
+    # Partition arrays enter the jit as ARGUMENTS, not closure captures:
+    # captured device arrays become lowering-time constants (duplicated
+    # during XLA compilation — an OOM at config-5 scale) and are re-staged
+    # through the hosted tunnel every call.
     @jax.jit
-    def encode(params):
-        out = _encode(params, local_arrays)  # [n, n_loc, H]
+    def _jit_encode(params, arrs):
+        out = _encode(params, arrs)  # [n, n_loc, H]
         if not gather:
             return out
         return out.reshape(-1, out.shape[-1])[: sg.num_nodes]
+
+    def encode(params):
+        return _jit_encode(params, local_arrays)
 
     return encode
 
@@ -756,13 +763,17 @@ def build_node_sharded_train_step(
                                  NamedSharding(mesh, P(axis_name))),
         _local_arrays(sg))
 
+    # Arrays as jit ARGUMENTS (see build_node_sharded_forward).
     @jax.jit
-    def step(state: TrainState, batch, key):
+    def _jit_step(state: TrainState, arrs, batch, key):
         k_neg, k_drop = jax.random.split(key)
         b = batch.shape[0]
         batch_dm = batch.reshape(n_dev, b // n_dev, 4)
         params, opt_state, (loss, acc) = _step(
-            state.params, state.opt_state, sharded, batch_dm, k_neg, k_drop)
+            state.params, state.opt_state, arrs, batch_dm, k_neg, k_drop)
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
+
+    def step(state: TrainState, batch, key):
+        return _jit_step(state, sharded, batch, key)
 
     return step
