@@ -31,7 +31,16 @@ import time
 
 def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
                   n_devices: int = 8, batch_size: int = 1024,
-                  emb_dim: int = 64, hidden_dim: int = 128) -> dict:
+                  emb_dim: int = 64, hidden_dim: int = 128,
+                  run_step: bool = True, checkpoint=None) -> dict:
+    """``checkpoint(report)`` (optional) is called after each phase so a
+    later OOM still leaves the completed phases recorded. ``run_step=False``
+    stops after partitioning + the analytic comms model: executing the
+    step on the SIMULATED mesh needs the pod's total HBM (8 x 16 GB) in
+    host RAM plus XLA slack — more than this host has at the full config-5
+    scale (two OOM kills at 130 GB RSS); the step itself is proven at
+    5M/50M (half scale, same code and shapes-per-device structure).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -71,6 +80,8 @@ def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
     report["n_loc"] = int(sg.n_loc)
     report["e_local_cap"] = int(sg.offsets_local[-1])
     report["e_halo_cap"] = int(sg.offsets_halo[-1])
+    if checkpoint:
+        checkpoint(report)
 
     model_cfg = ModelConfig(num_nodes=num_nodes,
                             num_relations=num_relations,
@@ -79,6 +90,17 @@ def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
     opt = make_optimizer(train_cfg)
     params = init_params(jax.random.PRNGKey(0), model_cfg)
     state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+    report["comms_model"] = comms_bytes_model(
+        graph, model_cfg, n_devices, batch_size=batch_size)
+    if checkpoint:
+        checkpoint(report)
+    if not run_step:
+        report["step_s_cpu"] = None
+        report["note"] = ("step skipped (--partition_only): simulating the "
+                          "pod's total HBM exceeds host RAM at this scale; "
+                          "see the half-scale entry for the executed step")
+        return report
 
     mesh = make_mesh(n_devices)
     step = build_node_sharded_train_step(mesh, sg, model_cfg, train_cfg, opt)
@@ -105,8 +127,8 @@ def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
     report["acc"] = round(float(acc), 4)
     assert np.isfinite(report["loss"])
 
-    report["comms_model"] = comms_bytes_model(
-        graph, model_cfg, n_devices, batch_size=batch_size)
+    if checkpoint:
+        checkpoint(report)
     return report
 
 
@@ -123,6 +145,12 @@ def main(argv=None):
     p.add_argument("--relations", type=int, default=50)
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--partition_only", action="store_true",
+                   help="stop after partitioning + comms model (the "
+                        "simulated step needs the pod's total HBM in host "
+                        "RAM)")
+    p.add_argument("--tag", default="config5-pod-dryrun",
+                   help="results key in the report file")
     p.add_argument("--out", default="bench_report.json")
     args = p.parse_args(argv)
 
@@ -130,18 +158,23 @@ def main(argv=None):
 
     apply_platform_env()
 
+    def merge(report):
+        try:
+            with open(args.out) as f:
+                full = json.load(f)
+        except (OSError, ValueError):
+            full = {"results": {}}
+        full.setdefault("results", {})[args.tag] = report
+        with open(args.out, "w") as f:
+            json.dump(full, f, indent=2)
+
     report = run_pod_scale(args.nodes, args.edges, args.relations,
                            n_devices=args.devices,
-                           batch_size=args.batch_size)
+                           batch_size=args.batch_size,
+                           run_step=not args.partition_only,
+                           checkpoint=merge)
     print(json.dumps(report, indent=2))
-    try:
-        with open(args.out) as f:
-            full = json.load(f)
-    except (OSError, ValueError):
-        full = {"results": {}}
-    full.setdefault("results", {})["config5-pod-dryrun"] = report
-    with open(args.out, "w") as f:
-        json.dump(full, f, indent=2)
+    merge(report)
     print(f"merged into {args.out}")
     return report
 
