@@ -352,7 +352,6 @@ def build_sharded_train_step(
         return params, opt_state, (loss, acc)
 
     edge_sharding = NamedSharding(mesh, P(axis_name))
-    rep = NamedSharding(mesh, P())
     edge_arrays = tuple(
         jax.device_put(a, edge_sharding)
         for a in (sg.src, sg.dst, sg.t_src, sg.t_dst))
