@@ -186,9 +186,11 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg") -> Dict:
         opt = make_optimizer(tcfg)
     params = init_params(jax.random.PRNGKey(0), cfg)
     # layout="auto": per-relation picks on the dense 3-relation subgraph,
-    # combined-neighborhood on relation-sparse full PrimeKG.
+    # combined-neighborhood on relation-sparse full PrimeKG. At 10M nodes
+    # the sparse-embedding step drops the dense [N, 64] table gradient
+    # (2.56 GB) and the full-table SGD stream from the per-step live set.
     step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
-                                       fanouts=fanouts)
+                                       fanouts=fanouts, sparse_emb=big)
 
     edges = np.stack([src, dst, rel], 1).astype(np.int32)
     rng = np.random.default_rng(0)

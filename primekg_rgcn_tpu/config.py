@@ -56,7 +56,7 @@ class TrainConfig:
     batch_size: int = 1024
     lr: float = 1e-3
     weight_decay: float = 0.0
-    optimizer: str = "adam"  # "adam" | "adamw"
+    optimizer: str = "adam"  # "adam" | "adamw" | "sgd" (TPU extra)
     num_neg_samples: int = 1
     grad_clip: float = 1.0
     gradient_accumulation_steps: int = 1

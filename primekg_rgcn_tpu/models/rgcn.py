@@ -206,8 +206,14 @@ def encoder_apply_sampled(
     *,
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Encode only a sampled neighborhood block (mini-batch mode).
+
+    ``x0`` optionally supplies the layer-0 frontier rows directly (already
+    in compute dtype, sentinel rows zeroed), bypassing the embedding-table
+    gather — the hook the sparse-embedding-update train step uses to get
+    [frontier, D]-shaped table gradients instead of dense [N, D] ones.
 
     The reference has no sampled path (its README lists mini-batch sampling
     as unimplemented); semantics here: per-relation mean over the *sampled*
@@ -233,10 +239,18 @@ def encoder_apply_sampled(
     # backward is one sorted segment-sum into the table, not a scatter.
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
-    sentinel = (batch.frontier == n)[:, None]
-    x = table_gather_sorted(enc["node_emb"].astype(compute_dtype),
-                            jnp.minimum(batch.frontier, n - 1))
-    x = jnp.where(sentinel, jnp.zeros((), compute_dtype), x)
+    if x0 is not None:
+        x = x0.astype(compute_dtype)
+    else:
+        # Gather THEN convert: casting the table first materializes a full
+        # [N, D] compute-dtype copy every step (1.28 GB at 10M nodes); the
+        # gather is row-count-bound, not byte-bound, so fetching f32 rows
+        # and converting the [frontier, D] result is free by comparison.
+        sentinel = (batch.frontier == n)[:, None]
+        x = table_gather_sorted(
+            enc["node_emb"],
+            jnp.minimum(batch.frontier, n - 1)).astype(compute_dtype)
+        x = jnp.where(sentinel, jnp.zeros((), compute_dtype), x)
 
     layers = [enc["conv1"], enc["conv2"]]
     if len(batch.blocks) != len(layers):

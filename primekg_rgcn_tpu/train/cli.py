@@ -36,7 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--weight_decay", type=float, default=0.0)
-    p.add_argument("--optimizer", choices=["adam", "adamw"], default="adam")
+    p.add_argument("--optimizer", choices=["adam", "adamw", "sgd"],
+                   default="adam")
     p.add_argument("--num_neg_samples", type=int, default=1)
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
@@ -65,6 +66,11 @@ def parse_args(argv=None):
                         "embedding-table optimizer state (ZeRO-1) over the "
                         "mesh — dense Adam at the 10M-node config exceeds "
                         "one chip without it")
+    p.add_argument("--sparse_emb", action="store_true",
+                   help="with --sample_fanouts and --optimizer sgd "
+                        "(grad_clip/weight_decay 0): update only the "
+                        "frontier's embedding rows per step — no dense "
+                        "[N, D] table gradient ever materializes")
     # Multi-chip (SURVEY.md §2.4; the reference is single-device only,
     # reference: src/train.py:758-761)
     p.add_argument("--shard", choices=["none", "edge", "node"],
@@ -219,7 +225,8 @@ def main(argv=None):
                                  full_graph, train_edges, val_edges,
                                  args.output_dir,
                                  fanouts=tuple(args.sample_fanouts),
-                                 n_devices=sample_ndev, zero1=args.zero1)
+                                 n_devices=sample_ndev, zero1=args.zero1,
+                                 sparse_emb=args.sparse_emb)
         if args.resume:
             trainer.resume(args.resume)
         trainer.train()

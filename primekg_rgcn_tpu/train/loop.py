@@ -72,6 +72,13 @@ def make_optimizer(cfg: TrainConfig,
         if cfg.weight_decay:
             parts.append(optax.add_decayed_weights(cfg.weight_decay))
         parts.append(optax.scale(-cfg.lr))
+    elif cfg.optimizer == "sgd":
+        # TPU extra (not a reference option): plain SGD is the memory-spec
+        # optimizer at 10M-node scale (adam moments are +2x params) and the
+        # rule the sparse-embedding-update sampled step mirrors exactly.
+        if cfg.weight_decay:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts.append(optax.scale(-cfg.lr))
     else:
         raise ValueError(f"Unknown optimizer: {cfg.optimizer}")
     return optax.chain(*parts)

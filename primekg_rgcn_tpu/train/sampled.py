@@ -79,12 +79,12 @@ def _csr_operands(csr, use_combined):
     tables. Passed-in jax.Arrays stay device-resident.
     """
     if use_combined:
-        arrays = (csr.row_start, csr.col, csr.rel, csr.deg_rel_flat,
+        arrays = (csr.row_start, csr.col, csr.rel, csr.edge_deg,
                   csr.deg_total)
 
         def rebuild(a):
             return csr._replace(row_start=a[0], col=a[1], rel=a[2],
-                                deg_rel_flat=a[3], deg_total=a[4])
+                                edge_deg=a[3], deg_total=a[4])
     else:
         arrays = (csr.row_start, csr.row_count, csr.col)
 
@@ -102,13 +102,26 @@ def build_sampled_train_step(
     fanouts: Sequence[int] = (15, 10),
     mode: str = "uniform",
     layout: str = "auto",
+    sparse_emb: bool = False,
 ):
     """Returns jitted ``step(state, pos_edges [B, 3], key)``.
 
     ``csr`` may be a CsrCache (per-relation layout), a CombinedCsr, or a
     RelGraph (layout resolved per :func:`resolve_sampler`).
+
+    ``sparse_emb=True`` differentiates with respect to the GATHERED
+    frontier rows instead of the full embedding table, so the table's
+    gradient/update never materializes as a dense [N, D] array — at 10M
+    nodes that is 2.56 GB of gradient buffer plus a full-table update
+    stream removed from every step. The table update is plain
+    SGD(train_cfg.lr) applied as a unique-row scatter-add; ``optimizer``
+    applies to the remaining (dense) params only, so it must be a rule
+    whose table update would also be ``-lr * g`` and must not couple
+    leaves across the split (use plain ``optax.sgd``; global-norm clipping
+    or adam would change semantics vs the dense step).
     """
-    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+    from primekg_rgcn_tpu.data.sampling import (
+        sample_batch_combined, table_gather_sorted)
 
     csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
 
@@ -150,8 +163,57 @@ def build_sampled_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
 
+    n = model_cfg.num_nodes
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _step_sparse(state: TrainState, pos_edges, key, csr_arrays):
+        csr_l = _rebuild(csr_arrays)
+        # Same RNG-stream structure as loss_fn, so dense and sparse steps
+        # draw identical candidates / picks / dropout masks.
+        k_neg, k_sample, k_drop = jax.random.split(key, 3)
+        heads, tails, rels, labels, weights = candidate_batch(
+            k_neg, pos_edges[:, 0], pos_edges[:, 1], pos_edges[:, 2],
+            model_cfg.num_nodes, train_cfg.num_neg_samples)
+        seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
+        if use_combined:
+            batch = sample_batch_combined(k_sample, csr_l, seeds, fanouts,
+                                          mode=mode)
+        else:
+            batch = sample_batch(k_sample, csr_l, seeds, fanouts,
+                                 mode=mode)
+        emb_table, rest = _split_emb(state.params)
+        sentinel = (batch.frontier == n)[:, None]
+        rows = table_gather_sorted(emb_table,
+                                   jnp.minimum(batch.frontier, n - 1))
+        rows = jnp.where(sentinel, jnp.zeros((), rows.dtype), rows)
+
+        def loss_from_rows(rows_v, rest_v):
+            emb = encoder_apply_sampled(
+                _merge_emb(rest_v, None), batch, model_cfg, train=True,
+                dropout_rng=k_drop, x0=rows_v)
+            m = heads.shape[0]
+            head_emb, tail_emb = emb[:m], emb[m:]
+            rel_emb = jnp.take(rest_v["decoder"]["rel_emb"], rels, axis=0)
+            scores = distmult_score(head_emb, tail_emb, rel_emb)
+            loss_sum, correct, count = bce_stats(scores, labels, weights)
+            return loss_sum / count, correct / count
+
+        (loss, acc), (g_rows, g_rest) = jax.value_and_grad(
+            loss_from_rows, argnums=(0, 1), has_aux=True)(rows, rest)
+        updates, opt_state = optimizer.update(g_rest, state.opt_state, rest)
+        rest = optax.apply_updates(rest, updates)
+        # Frontier ids are sorted-UNIQUE (fill value n), so the scatter-add
+        # applies each row's gradient exactly once and fill slots fall out
+        # of bounds and are dropped.
+        emb_table = emb_table.at[batch.frontier].add(
+            (-train_cfg.lr * g_rows).astype(emb_table.dtype), mode="drop")
+        params = _merge_emb(rest, emb_table)
+        return TrainState(params, opt_state, state.step + 1), (loss, acc)
+
+    inner = _step_sparse if sparse_emb else _step
+
     def step(state: TrainState, pos_edges, key):
-        return _step(state, pos_edges, key, csr_arrays)
+        return inner(state, pos_edges, key, csr_arrays)
 
     return step
 
@@ -468,7 +530,7 @@ class SampledTrainer:
 
     def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
                  val_edges, output_dir, *, fanouts=(15, 10), mode="uniform",
-                 n_devices=None, zero1=False):
+                 n_devices=None, zero1=False, sparse_emb=False):
         import numpy as np
         from pathlib import Path
 
@@ -508,9 +570,18 @@ class SampledTrainer:
                     graph, model_cfg, train_cfg, self.optimizer, mesh,
                     fanouts=fanouts, mode=mode)
         else:
+            if sparse_emb and (train_cfg.optimizer != "sgd"
+                               or train_cfg.grad_clip
+                               or train_cfg.weight_decay):
+                raise ValueError(
+                    "sparse_emb requires --optimizer sgd with grad_clip "
+                    "disabled: the embedding update is a -lr*g scatter, so "
+                    "any rule coupling the table with other leaves (adam "
+                    "moments, global-norm clip) would diverge from the "
+                    "dense step")
             self.step_fn = build_sampled_train_step(
                 graph, model_cfg, train_cfg, self.optimizer, fanouts=fanouts,
-                mode=mode)
+                mode=mode, sparse_emb=sparse_emb)
         from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
 
         self.eval_fn = build_eval_epoch(full_graph, np.asarray(val_edges),

@@ -412,3 +412,50 @@ def test_zero1_checkpoint_loads_without_template(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("layout", ["combined", "per-relation"])
+def test_sparse_emb_step_matches_dense(layout):
+    """sparse_emb=True (frontier-row grads + unique-row scatter SGD) must
+    reproduce the dense step exactly: same RNG streams, same math, only the
+    dense [N, D] table gradient/update is structurally eliminated."""
+    import optax
+
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.loop import TrainState
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
+
+    rng = np.random.default_rng(7)
+    n, r, e = 60, 10, 500
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.3)
+    tcfg = TrainConfig(batch_size=32, lr=1e-2)
+    opt = optax.sgd(tcfg.lr)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    edges = jnp.asarray(np.stack([src, dst, rel], 1).astype(np.int32))
+
+    finals = []
+    for sparse in (False, True):
+        step = build_sampled_train_step(graph, cfg, tcfg, opt,
+                                        fanouts=(5, 5), layout=layout,
+                                        sparse_emb=sparse)
+        # The step donates its state; give each run its own copy.
+        p0 = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True),
+                                    params)
+        st = TrainState(p0, opt.init(p0), jnp.zeros((), jnp.int32))
+        key = jax.random.PRNGKey(4)
+        for i in range(4):
+            key, k, kb = jax.random.split(key, 3)
+            bi = jax.random.randint(kb, (32,), 0, e)
+            st, (loss, _) = step(st, edges[bi], k)
+        assert np.isfinite(float(loss))
+        finals.append(st)
+    dense, sparse_st = finals
+    for a, b in zip(jax.tree_util.tree_leaves(dense.params),
+                    jax.tree_util.tree_leaves(sparse_st.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
