@@ -66,6 +66,13 @@ def parse_args(argv=None):
                         "embedding-table optimizer state (ZeRO-1) over the "
                         "mesh — dense Adam at the 10M-node config exceeds "
                         "one chip without it")
+    p.add_argument("--zero3", action="store_true",
+                   help="with --sample_fanouts and --shard: shard the "
+                        "embedding TABLE itself (params + moments + "
+                        "update all stay slice-local; frontier rows are "
+                        "fetched via psum_scatter) — per-device memory "
+                        "O(N/n + frontier), dense adam at any N that "
+                        "fits the POD")
     p.add_argument("--sparse_emb", action="store_true",
                    help="with --sample_fanouts and --optimizer sgd "
                         "(grad_clip/weight_decay 0): update only the "
@@ -226,6 +233,7 @@ def main(argv=None):
                                  args.output_dir,
                                  fanouts=tuple(args.sample_fanouts),
                                  n_devices=sample_ndev, zero1=args.zero1,
+                                 zero3=args.zero3,
                                  sparse_emb=args.sparse_emb)
         if args.resume:
             trainer.resume(args.resume)

@@ -520,6 +520,200 @@ def build_sampled_train_step_zero1(
     return init_state, step
 
 
+def build_sampled_train_step_zero3(
+    csr,
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    mesh,
+    *,
+    fanouts: Sequence[int] = (15, 10),
+    mode: str = "uniform",
+    layout: str = "auto",
+    axis_name: str = "data",
+):
+    """Fully-sharded embedding table ("ZeRO-3" for the 97%-of-params leaf).
+
+    zero1 shards only the adam moments: the table stays replicated, a
+    dense [N, D] gradient is all-reduced, and the updated table is
+    re-gathered every step — three table-sized objects (~2.5 GB each at
+    BASELINE config-5 scale) per device per step. Here the TABLE itself is
+    sharded row-wise over the mesh and every table-shaped object stays
+    local:
+
+    - fetch: devices all-gather the mesh's frontier ids (ints, tiny), each
+      serves the requested rows it owns from its slice, and one
+      ``psum_scatter`` routes each requester its [cap, D] rows — ICI
+      volume scales with the sampled frontier, not with N;
+    - backward: JAX transposes the fetch automatically (all-gather of the
+      row cotangents, owner-masked scatter-add), so each device receives
+      exactly the global gradient of ITS rows and nothing else;
+    - update: adam moments and the weight update are slice-local; there is
+      no table-sized collective, gradient, or replica anywhere, so
+      per-device memory is O(N/n + frontier) and graphs whose table alone
+      exceeds one chip become trainable with dense adam.
+
+    Semantics match zero1/DP exactly (same RNG streams, global-batch mean
+    loss, full-pytree global-norm clip) up to float reduction order.
+
+    Returns ``(init_state, step, to_full, to_sharded)``: params carry the
+    node table as a device-major [n_dev, n_loc, D] leaf; ``to_full`` /
+    ``to_sharded`` convert that leaf for eval/checkpoint interchange.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+    from primekg_rgcn_tpu.train.loop import make_optimizer
+
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    csr_arrays, _rebuild = _csr_operands(csr, use_combined)
+
+    inner = make_optimizer(train_cfg, include_clip=False)
+    n_dev = mesh.devices.size
+    n_nodes = model_cfg.num_nodes
+    n_loc = -(-n_nodes // n_dev)
+    pad_rows = n_dev * n_loc - n_nodes
+
+    def to_sharded(emb_full):
+        if pad_rows:
+            emb_full = jnp.concatenate(
+                [emb_full, jnp.zeros((pad_rows, emb_full.shape[1]),
+                                     emb_full.dtype)], axis=0)
+        return emb_full.reshape(n_dev, n_loc, emb_full.shape[1])
+
+    def to_full(emb_dm):
+        return emb_dm.reshape(n_dev * n_loc, -1)[:n_nodes]
+
+    def init_state(params) -> TrainState:
+        emb, rest = _split_emb(params)
+        rest_state = inner.init(rest)
+        slice_zero = jnp.zeros((n_loc, emb.shape[1]), emb.dtype)
+        one = inner.init(slice_zero)
+        emb_state = jax.tree_util.tree_map(
+            lambda a: (jnp.broadcast_to(a, (n_dev,) + a.shape)
+                       if getattr(a, "ndim", None) is not None and a.ndim
+                       else jnp.broadcast_to(jnp.asarray(a), (n_dev,))),
+            one)
+        sharded = NamedSharding(mesh, P(axis_name))
+        emb_state = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharded), emb_state)
+        params_s = _merge_emb(
+            rest, jax.device_put(to_sharded(emb), sharded))
+        return TrainState(params_s, (rest_state, emb_state),
+                          jnp.zeros((), jnp.int32))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis_name), P(), P(), P(axis_name), P(),
+                       P(axis_name), P()),
+             out_specs=(P(axis_name), P(), P(), P(axis_name), (P(), P())),
+             check_vma=True)
+    def _step(emb_dm, rest, rest_state, emb_state, csr_arrs, batch_shard,
+              key):
+        pos = batch_shard[0]
+        vary = lambda a: jax.lax.pcast(a, axis_name, to="varying")  # noqa: E731
+        csr_local = _rebuild(jax.tree_util.tree_map(vary, csr_arrs))
+        my = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(vary(key), my)
+        emb_loc = emb_dm[0]                          # [n_loc, D] varying
+        emb_state_loc = jax.tree_util.tree_map(lambda a: a[0], emb_state)
+        rest_v = jax.tree_util.tree_map(vary, rest)
+
+        k_neg, k_sample, k_drop = jax.random.split(dev_key, 3)
+        heads, tails, rels, labels, weights = candidate_batch(
+            k_neg, pos[:, 0], pos[:, 1], pos[:, 2], model_cfg.num_nodes,
+            train_cfg.num_neg_samples)
+        seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
+        if use_combined:
+            batch = sample_batch_combined(k_sample, csr_local, seeds,
+                                          fanouts, mode=mode)
+        else:
+            batch = sample_batch(k_sample, csr_local, seeds, fanouts,
+                                 mode=mode)
+        frontier = batch.frontier          # [cap] sorted unique, fill = N
+        all_ids = jax.lax.all_gather(frontier, axis_name, tiled=True)
+        off = my * n_loc
+        # Sentinel ids (== n_nodes) and padded tail rows are owned by
+        # nobody: their fetched rows psum to zero, their cotangents are
+        # masked out, exactly matching the dense paths' sentinel zeroing.
+        owned = (all_ids >= off) & (
+            all_ids < jnp.minimum(off + n_loc, n_nodes))
+        loc_ids = jnp.clip(all_ids - off, 0, n_loc - 1)
+
+        def loss_sums(emb_loc_v, rest_p):
+            contrib = jnp.where(owned[:, None],
+                                jnp.take(emb_loc_v, loc_ids, axis=0),
+                                jnp.zeros((), emb_loc_v.dtype))
+            rows = jax.lax.psum_scatter(contrib, axis_name,
+                                        scatter_dimension=0, tiled=True)
+            emb = encoder_apply_sampled(
+                _merge_emb(rest_p, None), batch, model_cfg, train=True,
+                dropout_rng=k_drop, x0=rows)
+            m = heads.shape[0]
+            rel_emb = jnp.take(rest_p["decoder"]["rel_emb"], rels, axis=0)
+            scores = distmult_score(emb[:m], emb[m:], rel_emb)
+            loss_sum, correct, count = bce_stats(scores, labels, weights)
+            return loss_sum, (correct, count)
+
+        (loss_sum, (correct, count)), (g_emb, g_rest) = jax.value_and_grad(
+            loss_sums, argnums=(0, 1), has_aux=True)(emb_loc, rest_v)
+        from jax.flatten_util import ravel_pytree
+
+        trio = jax.lax.psum(jnp.stack([loss_sum, correct, count]),
+                            axis_name)
+        total_count = jnp.maximum(trio[2], 1.0)
+        # g_emb already carries the GLOBAL gradient of this device's rows
+        # (the fetch's transpose all-gathers every device's row cotangents
+        # and owner-masks them); only the small dense leaves need a psum.
+        g_emb = g_emb / total_count
+        flat, unravel = ravel_pytree(g_rest)
+        g_rest = unravel(jax.lax.psum(flat, axis_name) / total_count)
+
+        if train_cfg.grad_clip and train_cfg.grad_clip > 0:
+            # Global norm over the full (virtual) pytree: slice sqnorms
+            # psum to the dense-table sqnorm because the slices partition
+            # the rows.
+            sq_emb = jax.lax.psum(jnp.sum(jnp.square(g_emb)), axis_name)
+            gnorm = jnp.sqrt(sq_emb + optax.global_norm(g_rest) ** 2)
+            scale = train_cfg.grad_clip / jnp.maximum(gnorm,
+                                                      train_cfg.grad_clip)
+            g_emb = g_emb * scale
+            g_rest = jax.tree_util.tree_map(lambda g: g * scale, g_rest)
+
+        upd_slice, emb_state_loc = inner.update(g_emb, emb_state_loc,
+                                                emb_loc)
+        new_loc = optax.apply_updates(emb_loc, upd_slice)
+
+        upd_rest, rest_state = inner.update(g_rest, rest_state, rest)
+        p_rest = optax.apply_updates(rest, upd_rest)
+
+        loss = trio[0] / total_count
+        acc = trio[1] / total_count
+        emb_state_out = jax.tree_util.tree_map(lambda a: a[None],
+                                               emb_state_loc)
+        return (new_loc[None], p_rest, rest_state, emb_state_out,
+                (loss, acc))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _jit_step(state: TrainState, batch_dm, key, csr_arrs):
+        emb_dm, rest = _split_emb(state.params)
+        rest_state, emb_state = state.opt_state
+        emb_dm, rest, rest_state, emb_state, (loss, acc) = _step(
+            emb_dm, rest, rest_state, emb_state, csr_arrs, batch_dm, key)
+        return (TrainState(_merge_emb(rest, emb_dm),
+                           (rest_state, emb_state), state.step + 1),
+                (loss, acc))
+
+    def step(state: TrainState, pos_edges, key):
+        b = pos_edges.shape[0]
+        if b % n_dev:
+            raise ValueError(
+                f"batch size {b} must divide by the {n_dev}-device mesh")
+        batch_dm = pos_edges.reshape(n_dev, b // n_dev, 3)
+        return _jit_step(state, batch_dm, key, csr_arrays)
+
+    return init_state, step, to_full, to_sharded
+
+
 class SampledTrainer:
     """Host-driven mini-batch trainer over sampled neighborhoods.
 
@@ -530,7 +724,7 @@ class SampledTrainer:
 
     def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
                  val_edges, output_dir, *, fanouts=(15, 10), mode="uniform",
-                 n_devices=None, zero1=False, sparse_emb=False):
+                 n_devices=None, zero1=False, zero3=False, sparse_emb=False):
         import numpy as np
         from pathlib import Path
 
@@ -556,11 +750,34 @@ class SampledTrainer:
         params = init_params(k_init, model_cfg)
         self.state = TrainState(params, self.optimizer.init(params),
                                 jnp.zeros((), jnp.int32))
+        # Identity param converters; zero3 swaps in sharded<->full ones.
+        self._to_full_params = lambda p: p
+        self._to_sharded_params = lambda p: p
+        self._zero3 = bool(zero3)
         if n_devices and n_devices > 1:
             from primekg_rgcn_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_devices)
-            if zero1:
+            if zero1 and zero3:
+                raise ValueError("--zero1 and --zero3 are exclusive")
+            if zero3:
+                (init_state, self.step_fn, to_full,
+                 to_sharded) = build_sampled_train_step_zero3(
+                    graph, model_cfg, train_cfg, mesh, fanouts=fanouts,
+                    mode=mode)
+                self.state = init_state(params)
+
+                def _full(p):
+                    emb, rest = _split_emb(p)
+                    return _merge_emb(rest, to_full(emb))
+
+                def _shard(p):
+                    emb, rest = _split_emb(p)
+                    return _merge_emb(rest, to_sharded(jnp.asarray(emb)))
+
+                self._to_full_params = _full
+                self._to_sharded_params = _shard
+            elif zero1:
                 init_state, self.step_fn = build_sampled_train_step_zero1(
                     graph, model_cfg, train_cfg, mesh, fanouts=fanouts,
                     mode=mode)
@@ -598,8 +815,23 @@ class SampledTrainer:
         whatever structure it was saved with)."""
         from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
 
-        payload = ckpt_lib.load(path, example_state=self.state)
-        self.state = payload["state"]
+        if self._zero3:
+            # Checkpoints store the FULL table (the one-step eval/analyze
+            # contract), so the sharded template can't deserialize it
+            # directly: take the raw restore, re-shard the table leaf, and
+            # map the optimizer state-dict back onto the live (rest_state,
+            # sharded emb_state) structure.
+            from flax import serialization as _ser
+
+            payload = ckpt_lib.load(path)
+            raw = payload["state"]
+            self.state = TrainState(
+                self._to_sharded_params(raw.params),
+                _ser.from_state_dict(self.state.opt_state, raw.opt_state),
+                jnp.asarray(raw.step))
+        else:
+            payload = ckpt_lib.load(path, example_state=self.state)
+            self.state = payload["state"]
         self.start_epoch = payload["epoch"]
         self.best_val_loss = payload["best_val_loss"]
         self.history = payload["history"]
@@ -636,7 +868,8 @@ class SampledTrainer:
                 losses.append(float(loss))
             tr_loss = float(np.mean(losses))
             self.key, k_val = jax.random.split(self.key)
-            val_loss, val_acc = self.eval_fn(self.state.params, k_val)
+            val_loss, val_acc = self.eval_fn(
+                self._to_full_params(self.state.params), k_val)
             dt = time.time() - t0
             log.info("Epoch %d/%d | %.1fs | sampled train loss %.4f | "
                      "val loss %.4f acc %.4f", epoch, cfg.epochs, dt,
@@ -651,7 +884,13 @@ class SampledTrainer:
             is_best = float(val_loss) < self.best_val_loss
             if is_best:
                 self.best_val_loss = float(val_loss)
-            payload = {"epoch": epoch, "state": self.state,
+            # zero3 checkpoints store the FULL table (the eval/analyze
+            # one-step-load contract); moments stay in their sharded
+            # device-major form and resume() re-shards the table.
+            save_state = TrainState(
+                self._to_full_params(self.state.params),
+                self.state.opt_state, self.state.step)
+            payload = {"epoch": epoch, "state": save_state,
                        "best_val_loss": self.best_val_loss,
                        "best_val_acc": 0.0, "history": self.history,
                        "rng_key": np.asarray(self.key).tolist(),

@@ -459,3 +459,93 @@ def test_sparse_emb_step_matches_dense(layout):
                     jax.tree_util.tree_leaves(sparse_st.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_zero3_matches_zero1():
+    """Fully-sharded-table step == ZeRO-1 step (same RNG streams, global
+    mean, clip) up to reduction order: the psum_scatter fetch + transpose
+    exchange must be semantically invisible."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.sampled import (
+        build_sampled_train_step_zero1, build_sampled_train_step_zero3)
+
+    rng = np.random.default_rng(1)
+    n, r, e = 90, 12, 800
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.3)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    edges = jnp.asarray(np.stack([src, dst, rel], 1).astype(np.int32))
+    mesh = make_mesh(len(jax.devices()))
+
+    init1, step1 = build_sampled_train_step_zero1(
+        graph, cfg, tcfg, mesh, fanouts=(5, 4))
+    init3, step3, to_full, _ = build_sampled_train_step_zero3(
+        graph, cfg, tcfg, mesh, fanouts=(5, 4))
+
+    def run(init, step, to_full_fn):
+        p0 = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True),
+                                    params)
+        st = init(p0)
+        key = jax.random.PRNGKey(9)
+        for _ in range(4):
+            key, k, kb = jax.random.split(key, 3)
+            bi = jax.random.randint(kb, (64,), 0, e)
+            st, (loss, _) = step(st, edges[bi], k)
+        assert np.isfinite(float(loss))
+        emb = st.params["encoder"]["node_emb"]
+        if to_full_fn is not None:
+            emb = to_full_fn(emb)
+        return emb, st.params["decoder"]["rel_emb"], \
+            st.params["encoder"]["conv1"]["w_root"]
+
+    outs1 = run(init1, step1, None)
+    outs3 = run(init3, step3, to_full)
+    for a, b in zip(outs1, outs3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-6)
+
+
+def test_zero3_trainer_roundtrip(tmp_path):
+    """SampledTrainer zero3: train -> checkpoint stores the FULL table
+    (one-step eval contract) -> resume re-shards and continues."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
+    from primekg_rgcn_tpu.train.sampled import SampledTrainer
+
+    rng = np.random.default_rng(3)
+    n, r, e = 70, 10, 600
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2, epochs=2)
+    n_dev = len(jax.devices())
+    t = SampledTrainer(cfg, tcfg, graph, graph, edges, edges[:64],
+                       tmp_path / "out", fanouts=(4, 3), n_devices=n_dev,
+                       zero3=True)
+    t.train()
+    # The saved table must be full-shape (evaluate/analyze load it as-is).
+    payload = ckpt_lib.load(tmp_path / "out" / "models" / "final_model")
+    assert payload["state"].params["encoder"]["node_emb"].shape == (n, 8)
+    # Resume continues with the sharded leaf restored.
+    tcfg2 = TrainConfig(batch_size=64, lr=1e-2, epochs=3)
+    t2 = SampledTrainer(cfg, tcfg2, graph, graph, edges, edges[:64],
+                        tmp_path / "out2", fanouts=(4, 3), n_devices=n_dev,
+                        zero3=True)
+    t2.resume(tmp_path / "out" / "models" / "final_model")
+    hist = t2.train()
+    assert len(hist["train_losses"]) == 3
+    assert t2.state.params["encoder"]["node_emb"].ndim == 3
