@@ -132,6 +132,135 @@ def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
     return report
 
 
+def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
+                        n_devices: int = 8, batch_size: int = 1024,
+                        emb_dim: int = 64, hidden_dim: int = 128,
+                        fanouts=(15, 10), checkpoint=None) -> dict:
+    """Config-5 at FULL scale with dense ADAM, executed on the sim mesh.
+
+    The node-sharded/zero1 steps at 10M/100M need the pod's total HBM in
+    host RAM (two 130 GB OOM kills; see run_pod_scale) because table-shaped
+    objects exist per device. zero3 (train/sampled.py) keeps every
+    table-shaped object SLICED — params 320 MB + adam moments 640 MB per
+    device — and its collectives frontier-sized, so the full-scale step
+    actually EXECUTES here, dense adam included (one chip can only afford
+    SGD at this scale, bench/suite.py sampled-10m).
+    """
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from primekg_rgcn_tpu import native
+    from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.data.sampling import _unique_cap
+    from primekg_rgcn_tpu.data.synthetic import rmat
+    from primekg_rgcn_tpu.models.rgcn import init_params
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.sampled import (
+        build_sampled_train_step_zero3, resolve_sampler)
+
+    report: dict = {"nodes": num_nodes, "edges": num_edges,
+                    "relations": num_relations, "devices": n_devices,
+                    "mode": "sampled-zero3-adam",
+                    "platform": jax.default_backend(),
+                    "disclaimer": "simulated mesh on host CPU: capability/"
+                                  "memory proof at real scale; step "
+                                  "wall-clock is NOT pod throughput"}
+
+    t0 = time.time()
+    g = native.rmat_native(num_nodes, num_edges, num_relations, seed=0) \
+        or rmat(num_nodes, num_edges, num_relations, seed=0)
+    report["rmat_gen_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    graph = build_rel_graph(g["src"], g["dst"], g["rel"], num_nodes,
+                            num_relations)
+    report["graph_build_s"] = round(time.time() - t0, 1)
+    edges = np.stack([g["src"][:200_000], g["dst"][:200_000],
+                      g["rel"][:200_000]], 1).astype(np.int32)
+    del g
+    gc.collect()
+    if checkpoint:
+        checkpoint(report)
+
+    model_cfg = ModelConfig(num_nodes=num_nodes,
+                            num_relations=num_relations,
+                            embedding_dim=emb_dim, hidden_dim=hidden_dim,
+                            compute_dtype="bfloat16")
+    train_cfg = TrainConfig(batch_size=batch_size)  # default = adam + clip
+
+    t0 = time.time()
+    csr, budgets, use_combined = resolve_sampler(graph, fanouts)
+    report["csr_build_s"] = round(time.time() - t0, 1)
+    report["layout"] = "combined" if use_combined else "per-relation"
+    report["budgets"] = list(budgets)
+
+    # Frontier-capacity ladder -> analytic per-device ICI bytes per step
+    # (hardware-independent; the zero3 collectives are ids all_gather +
+    # rows psum_scatter + row-cotangent all_gather, all n*cap-sized).
+    per_dev = batch_size // n_devices
+    cap = _unique_cap(4 * per_dev * (1 + train_cfg.num_neg_samples),
+                      num_nodes)
+    for f in budgets:
+        cap = _unique_cap(cap * (1 + int(f)), num_nodes)
+    row_bytes = emb_dim * 4
+    report["zero3_comms_model"] = {
+        "frontier_cap": int(cap),
+        "ids_allgather_bytes": int(n_devices * cap * 4),
+        "rows_psum_scatter_bytes": int(n_devices * cap * row_bytes),
+        "cotangent_allgather_bytes": int(n_devices * cap * row_bytes),
+        "note": "per device per step; independent of N (zero1 moves two "
+                "table-sized [N, D] collectives instead)"}
+    if checkpoint:
+        checkpoint(report)
+
+    mesh = make_mesh(n_devices)
+    init_state, step, to_full, _ = build_sampled_train_step_zero3(
+        csr, model_cfg, train_cfg, mesh, fanouts=budgets, layout="combined"
+        if use_combined else "per-relation")
+    params = init_params(jax.random.PRNGKey(0), model_cfg)
+    state = init_state(params)
+    del params
+    gc.collect()
+    report["table_slice_mb"] = round(
+        -(-num_nodes // n_devices) * row_bytes / 2**20, 1)
+    if checkpoint:
+        checkpoint(report)
+
+    rng = np.random.default_rng(0)
+
+    def batch():
+        idx = rng.integers(0, len(edges), batch_size)
+        return jnp.asarray(edges[idx])
+
+    t0 = time.time()
+    state, (loss, acc) = step(state, batch(), jax.random.PRNGKey(1))
+    loss = float(loss)
+    report["first_step_incl_compile_s"] = round(time.time() - t0, 1)
+    if checkpoint:
+        checkpoint(report)
+
+    t0 = time.time()
+    state, (loss, acc) = step(state, batch(), jax.random.PRNGKey(2))
+    loss = float(loss)
+    report["step_s_cpu"] = round(time.time() - t0, 1)
+    report["loss"] = round(loss, 4)
+    report["acc"] = round(float(acc), 4)
+    assert np.isfinite(loss)
+    try:
+        rss_kb = int(open("/proc/self/status").read()
+                     .split("VmHWM:")[1].split()[0])
+        report["peak_host_rss_gb"] = round(rss_kb / 2**20, 1)
+    except (OSError, IndexError, ValueError):
+        pass
+    if checkpoint:
+        checkpoint(report)
+    return report
+
+
 def main(argv=None):
     os.environ.setdefault("PRIMEKG_FORCE_CPU", "1")
     flags = os.environ.get("XLA_FLAGS", "")
@@ -149,6 +278,11 @@ def main(argv=None):
                    help="stop after partitioning + comms model (the "
                         "simulated step needs the pod's total HBM in host "
                         "RAM)")
+    p.add_argument("--sampled_zero3", action="store_true",
+                   help="run the fully-sharded-table sampled ADAM step "
+                        "instead of the node-sharded full-batch step — "
+                        "table-shaped objects stay sliced, so this "
+                        "executes at full config-5 scale on this host")
     p.add_argument("--tag", default="config5-pod-dryrun",
                    help="results key in the report file")
     p.add_argument("--out", default="bench_report.json")
@@ -168,11 +302,18 @@ def main(argv=None):
         with open(args.out, "w") as f:
             json.dump(full, f, indent=2)
 
-    report = run_pod_scale(args.nodes, args.edges, args.relations,
-                           n_devices=args.devices,
-                           batch_size=args.batch_size,
-                           run_step=not args.partition_only,
-                           checkpoint=merge)
+    if args.sampled_zero3:
+        report = run_pod_scale_zero3(args.nodes, args.edges,
+                                     args.relations,
+                                     n_devices=args.devices,
+                                     batch_size=args.batch_size,
+                                     checkpoint=merge)
+    else:
+        report = run_pod_scale(args.nodes, args.edges, args.relations,
+                               n_devices=args.devices,
+                               batch_size=args.batch_size,
+                               run_step=not args.partition_only,
+                               checkpoint=merge)
     print(json.dumps(report, indent=2))
     merge(report)
     print(f"merged into {args.out}")

@@ -131,6 +131,28 @@ def comms_bytes_model(graph, model_cfg, n_devices: int,
             "note": "adds the table-rebuild all-gather; buys an n-fold cut "
                     "of the 2x-params Adam moment memory",
         }
+        # Fully-sharded table (zero3): every collective is frontier-sized
+        # (ids all_gather + rows psum_scatter + row-cotangent all_gather);
+        # nothing scales with N except the n-fold-SLICED params/moments.
+        from primekg_rgcn_tpu.data.sampling import _unique_cap
+        from primekg_rgcn_tpu.train.sampled import resolve_sampler
+
+        _, budgets, comb = resolve_sampler(graph, (15, 10))
+        cap = _unique_cap(4 * max(batch_size // n, 1) * 2, N)
+        for f in budgets:
+            slots = int(f) if comb else int(f) * R
+            cap = _unique_cap(cap * (1 + slots), N)
+        row = emb * f32
+        result["sampled_zero3"] = {
+            "frontier_cap": int(cap),
+            "per_device_step_bytes": int(n * cap * (4 + 2 * row)
+                                         + _ring_allreduce_bytes(p_rest,
+                                                                 n)),
+            "per_device_table_bytes": int(n_loc * row * 3),
+            "note": "frontier-proportional ICI, independent of N; params "
+                    "+ adam moments sliced n-fold (no table-sized object "
+                    "per device)",
+        }
     return result
 
 
@@ -182,7 +204,8 @@ def measure_sim_mesh(scale: float = 0.25,
                                "throughput",
                  "layouts": {}}
 
-    for layout in ("edge", "node", "sampled-dp", "sampled-zero1"):
+    for layout in ("edge", "node", "sampled-dp", "sampled-zero1",
+                   "sampled-zero3"):
         rows = {}
         for n in device_counts:
             if n > len(jax.devices()):
@@ -191,10 +214,11 @@ def measure_sim_mesh(scale: float = 0.25,
                 continue  # DP variants need a mesh axis; single-chip path
                 # is benched separately (bench/suite.py sampled configs)
             mesh = make_mesh(n)
-            if layout == "sampled-dp" or layout == "sampled-zero1":
+            if layout.startswith("sampled"):
                 from primekg_rgcn_tpu.train.sampled import (
                     build_sampled_train_step_dp,
                     build_sampled_train_step_zero1,
+                    build_sampled_train_step_zero3,
                 )
 
                 # The sampled steps donate their state; give each run its
@@ -206,10 +230,14 @@ def measure_sim_mesh(scale: float = 0.25,
                         fanouts=(5, 3))
                     st0 = TrainState(p0, opt.init(p0),
                                      jnp.zeros((), jnp.int32))
-                else:
+                elif layout == "sampled-zero1":
                     init_z1, sstep = build_sampled_train_step_zero1(
                         graph, model_cfg, train_cfg, mesh, fanouts=(5, 3))
                     st0 = init_z1(p0)
+                else:
+                    init_z3, sstep, _, _ = build_sampled_train_step_zero3(
+                        graph, model_cfg, train_cfg, mesh, fanouts=(5, 3))
+                    st0 = init_z3(p0)
                 state = {"s": st0}
 
                 def run(i, _s=sstep, _st=state):
