@@ -73,6 +73,12 @@ def parse_args(argv=None):
                         "fetched via psum_scatter) — per-device memory "
                         "O(N/n + frontier), dense adam at any N that "
                         "fits the POD")
+    p.add_argument("--val_sampled", action="store_true",
+                   help="with --sample_fanouts: validate with the sampled "
+                        "encoder (O(frontier) per batch) instead of a "
+                        "full-graph encode — required at scales where the "
+                        "full encode cannot materialize; with --zero3 the "
+                        "table stays sharded through validation too")
     p.add_argument("--sparse_emb", action="store_true",
                    help="with --sample_fanouts and --optimizer sgd "
                         "(grad_clip/weight_decay 0): update only the "
@@ -234,7 +240,8 @@ def main(argv=None):
                                  fanouts=tuple(args.sample_fanouts),
                                  n_devices=sample_ndev, zero1=args.zero1,
                                  zero3=args.zero3,
-                                 sparse_emb=args.sparse_emb)
+                                 sparse_emb=args.sparse_emb,
+                                 val_sampled=args.val_sampled)
         if args.resume:
             trainer.resume(args.resume)
         trainer.train()

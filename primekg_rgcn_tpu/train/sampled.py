@@ -218,6 +218,80 @@ def build_sampled_train_step(
     return step
 
 
+def build_sampled_eval_epoch(csr, val_edges, model_cfg: ModelConfig,
+                             train_cfg: TrainConfig, *,
+                             fanouts: Sequence[int] = (15, 10),
+                             mode: str = "uniform", layout: str = "auto"):
+    """Sampled-encoder validation: O(frontier) per batch, no full encode.
+
+    The standard val path (train/loop.build_eval_epoch) encodes the whole
+    graph once per epoch — impossible exactly where sampling matters (the
+    10M-node configs whose [E, D] message stream exceeds HBM). This one
+    scores each val batch against its sampled neighborhood encode
+    (deterministic: no dropout; the sampling noise is pinned by the epoch
+    key). Messages ride the TRAINING graph's CSR — the reference's
+    full-graph-messages validation quirk requires a full-batch encode the
+    target scale forbids.
+
+    Returns ``eval_fn(params, key) -> (val_loss, val_acc)``, the same
+    contract as build_eval_epoch. Padding batches are mask-weighted, so
+    totals are exact over the val set.
+    """
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    csr_arrays, _rebuild = _csr_operands(csr, use_combined)
+    edges = np.asarray(val_edges, dtype=np.int32)
+    num_edges = int(edges.shape[0])
+    b = train_cfg.batch_size
+    n_steps = -(-num_edges // b)
+    edges_pad = jnp.asarray(
+        np.concatenate([edges, np.zeros((1, 3), np.int32)], axis=0))
+    idx = np.concatenate([
+        np.arange(num_edges, dtype=np.int32),
+        np.full(n_steps * b - num_edges, num_edges, dtype=np.int32),
+    ]).reshape(n_steps, b)
+    idx = jnp.asarray(idx)
+
+    @jax.jit
+    def _eval(params, key, csr_arrs):
+        csr_l = _rebuild(csr_arrs)
+
+        def scan_step(stats, inp):
+            batch_idx, k = inp
+            mask = batch_idx < num_edges
+            batch = jnp.take(edges_pad, batch_idx, axis=0)
+            k_neg, k_sample = jax.random.split(k)
+            heads, tails, rels, labels, weights = candidate_batch(
+                k_neg, batch[:, 0], batch[:, 1], batch[:, 2],
+                model_cfg.num_nodes, train_cfg.num_neg_samples, mask=mask)
+            seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
+            if use_combined:
+                sb = sample_batch_combined(k_sample, csr_l, seeds, fanouts,
+                                           mode=mode)
+            else:
+                sb = sample_batch(k_sample, csr_l, seeds, fanouts,
+                                  mode=mode)
+            emb = encoder_apply_sampled(params, sb, model_cfg, train=False)
+            m = heads.shape[0]
+            rel_emb = jnp.take(params["decoder"]["rel_emb"], rels, axis=0)
+            scores = distmult_score(emb[:m], emb[m:], rel_emb)
+            loss_sum, correct, count = bce_stats(scores, labels, weights)
+            return (stats[0] + loss_sum, stats[1] + correct,
+                    stats[2] + count), None
+
+        keys = jax.random.split(key, n_steps)
+        stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+        (loss_sum, correct, count), _ = jax.lax.scan(
+            scan_step, stats0, (idx, keys))
+        return loss_sum / count, correct / count
+
+    def eval_fn(params, key):
+        return _eval(params, key, csr_arrays)
+
+    return eval_fn
+
+
 def build_sampled_train_step_dp(
     csr,
     model_cfg: ModelConfig,
@@ -711,6 +785,69 @@ def build_sampled_train_step_zero3(
         batch_dm = pos_edges.reshape(n_dev, b // n_dev, 3)
         return _jit_step(state, batch_dm, key, csr_arrays)
 
+    # --- sampled validation twin: same sharded fetch, no grad/update; the
+    # table never materializes, so zero3 runs CAN validate at scale.
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis_name), P(), P(), P(axis_name), P()),
+             out_specs=P(), check_vma=True)
+    def _eval_shard(emb_dm, rest, csr_arrs, batch_shard, key):
+        bm = batch_shard[0]
+        pos, mask = bm[:, :3], bm[:, 3] > 0
+        vary = lambda a: jax.lax.pcast(a, axis_name, to="varying")  # noqa: E731
+        csr_local = _rebuild(jax.tree_util.tree_map(vary, csr_arrs))
+        my = jax.lax.axis_index(axis_name)
+        dev_key = jax.random.fold_in(vary(key), my)
+        emb_loc = emb_dm[0]
+
+        k_neg, k_sample = jax.random.split(dev_key)
+        heads, tails, rels, labels, weights = candidate_batch(
+            k_neg, pos[:, 0], pos[:, 1], pos[:, 2], model_cfg.num_nodes,
+            train_cfg.num_neg_samples, mask=mask)
+        seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
+        if use_combined:
+            batch = sample_batch_combined(k_sample, csr_local, seeds,
+                                          fanouts, mode=mode)
+        else:
+            batch = sample_batch(k_sample, csr_local, seeds, fanouts,
+                                 mode=mode)
+        frontier = batch.frontier
+        all_ids = jax.lax.all_gather(frontier, axis_name, tiled=True)
+        off = my * n_loc
+        owned = (all_ids >= off) & (
+            all_ids < jnp.minimum(off + n_loc, n_nodes))
+        loc_ids = jnp.clip(all_ids - off, 0, n_loc - 1)
+        contrib = jnp.where(owned[:, None],
+                            jnp.take(emb_loc, loc_ids, axis=0),
+                            jnp.zeros((), emb_loc.dtype))
+        rows = jax.lax.psum_scatter(contrib, axis_name,
+                                    scatter_dimension=0, tiled=True)
+        rest_v = jax.tree_util.tree_map(vary, rest)
+        emb = encoder_apply_sampled(_merge_emb(rest_v, None), batch,
+                                    model_cfg, train=False, x0=rows)
+        m = heads.shape[0]
+        rel_emb = jnp.take(rest_v["decoder"]["rel_emb"], rels, axis=0)
+        scores = distmult_score(emb[:m], emb[m:], rel_emb)
+        loss_sum, correct, count = bce_stats(scores, labels, weights)
+        return jax.lax.psum(jnp.stack([loss_sum, correct, count]),
+                            axis_name)
+
+    @jax.jit
+    def _jit_eval(params, batch_dm, key, csr_arrs):
+        emb_dm, rest = _split_emb(params)
+        return _eval_shard(emb_dm, rest, csr_arrs, batch_dm, key)
+
+    def eval_batch(params, pos_mask, key):
+        """(loss_sum, correct, count) for one [B, 4] (src,dst,rel,valid)
+        batch; aggregate across batches on the host for exact epoch
+        means."""
+        b = pos_mask.shape[0]
+        if b % n_dev:
+            raise ValueError(
+                f"batch size {b} must divide by the {n_dev}-device mesh")
+        batch_dm = pos_mask.reshape(n_dev, b // n_dev, 4)
+        return _jit_eval(params, batch_dm, key, csr_arrays)
+
+    step.eval_batch = eval_batch
     return init_state, step, to_full, to_sharded
 
 
@@ -724,7 +861,8 @@ class SampledTrainer:
 
     def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
                  val_edges, output_dir, *, fanouts=(15, 10), mode="uniform",
-                 n_devices=None, zero1=False, zero3=False, sparse_emb=False):
+                 n_devices=None, zero1=False, zero3=False, sparse_emb=False,
+                 val_sampled=False):
         import numpy as np
         from pathlib import Path
 
@@ -754,6 +892,10 @@ class SampledTrainer:
         self._to_full_params = lambda p: p
         self._to_sharded_params = lambda p: p
         self._zero3 = bool(zero3)
+        # Resolve the pick layout ONCE; every builder (train step, sampled
+        # val) then shares the same CSR instead of rebuilding it (the
+        # combined CSR costs ~90 s + 700 MB at the 100M-edge config).
+        csr_like = resolve_sampler(graph, fanouts)[0]
         if n_devices and n_devices > 1:
             from primekg_rgcn_tpu.parallel.mesh import make_mesh
 
@@ -763,7 +905,7 @@ class SampledTrainer:
             if zero3:
                 (init_state, self.step_fn, to_full,
                  to_sharded) = build_sampled_train_step_zero3(
-                    graph, model_cfg, train_cfg, mesh, fanouts=fanouts,
+                    csr_like, model_cfg, train_cfg, mesh, fanouts=fanouts,
                     mode=mode)
                 self.state = init_state(params)
 
@@ -779,12 +921,12 @@ class SampledTrainer:
                 self._to_sharded_params = _shard
             elif zero1:
                 init_state, self.step_fn = build_sampled_train_step_zero1(
-                    graph, model_cfg, train_cfg, mesh, fanouts=fanouts,
+                    csr_like, model_cfg, train_cfg, mesh, fanouts=fanouts,
                     mode=mode)
                 self.state = init_state(params)
             else:
                 self.step_fn = build_sampled_train_step_dp(
-                    graph, model_cfg, train_cfg, self.optimizer, mesh,
+                    csr_like, model_cfg, train_cfg, self.optimizer, mesh,
                     fanouts=fanouts, mode=mode)
         else:
             if sparse_emb and (train_cfg.optimizer != "sgd"
@@ -797,13 +939,44 @@ class SampledTrainer:
                     "moments, global-norm clip) would diverge from the "
                     "dense step")
             self.step_fn = build_sampled_train_step(
-                graph, model_cfg, train_cfg, self.optimizer, fanouts=fanouts,
-                mode=mode, sparse_emb=sparse_emb)
-        from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+                csr_like, model_cfg, train_cfg, self.optimizer,
+                fanouts=fanouts, mode=mode, sparse_emb=sparse_emb)
+        if val_sampled and self._zero3:
+            # Sharded sampled validation: the table never materializes.
+            edges_v = np.asarray(val_edges, dtype=np.int32)
+            b = train_cfg.batch_size
+            n_val_steps = max(-(-len(edges_v) // b), 1)
+            padded = np.zeros((n_val_steps * b, 4), np.int32)
+            padded[:len(edges_v), :3] = edges_v
+            padded[:len(edges_v), 3] = 1
+            val_batches = jnp.asarray(padded.reshape(n_val_steps, b, 4))
+            eval_batch = self.step_fn.eval_batch
 
-        self.eval_fn = build_eval_epoch(full_graph, np.asarray(val_edges),
-                                        model_cfg, train_cfg,
-                                        layer_fn=rgcn_layer_segment)
+            def eval_fn(params, key):
+                tot = np.zeros(3)
+                for i in range(n_val_steps):
+                    tot += np.asarray(
+                        eval_batch(params, val_batches[i],
+                                   jax.random.fold_in(key, i)))
+                denom = max(tot[2], 1.0)
+                return tot[0] / denom, tot[1] / denom
+
+            self.eval_fn = eval_fn
+        elif val_sampled:
+            self.eval_fn = build_sampled_eval_epoch(
+                csr_like, val_edges, model_cfg, train_cfg, fanouts=fanouts,
+                mode=mode)
+        else:
+            from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
+
+            base_eval = build_eval_epoch(full_graph, np.asarray(val_edges),
+                                         model_cfg, train_cfg,
+                                         layer_fn=rgcn_layer_segment)
+            if self._zero3:
+                self.eval_fn = lambda p, k: base_eval(
+                    self._to_full_params(p), k)
+            else:
+                self.eval_fn = base_eval
         self.best_val_loss = float("inf")
         self.history = {"train_losses": [], "val_losses": []}
         self.start_epoch = 0
@@ -868,8 +1041,7 @@ class SampledTrainer:
                 losses.append(float(loss))
             tr_loss = float(np.mean(losses))
             self.key, k_val = jax.random.split(self.key)
-            val_loss, val_acc = self.eval_fn(
-                self._to_full_params(self.state.params), k_val)
+            val_loss, val_acc = self.eval_fn(self.state.params, k_val)
             dt = time.time() - t0
             log.info("Epoch %d/%d | %.1fs | sampled train loss %.4f | "
                      "val loss %.4f acc %.4f", epoch, cfg.epochs, dt,

