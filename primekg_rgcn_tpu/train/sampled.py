@@ -1109,4 +1109,14 @@ class SampledTrainer:
             if is_best:
                 ckpt_lib.save(self.model_dir / "best_model", payload)
             ckpt_lib.save(self.model_dir / "final_model", payload)
+            # Windowed early stopping, same quirk-preserving semantics as
+            # the full-batch Trainer (reference: src/train.py:523-530 —
+            # stop when no element of the window improves on its FIRST
+            # element).
+            if cfg.early_stopping > 0 and \
+                    len(self.history["val_losses"]) > cfg.early_stopping:
+                recent = self.history["val_losses"][-cfg.early_stopping:]
+                if all(r >= recent[0] for r in recent):
+                    log.info("Early stopping at epoch %d", epoch)
+                    break
         return self.history
