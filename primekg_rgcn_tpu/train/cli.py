@@ -73,6 +73,12 @@ def parse_args(argv=None):
                         "fetched via psum_scatter) — per-device memory "
                         "O(N/n + frontier), dense adam at any N that "
                         "fits the POD")
+    p.add_argument("--dp_pods", type=int, default=0,
+                   help="with --zero3: hierarchical 2-D mesh — the table "
+                        "shards over n_devices/dp_pods chips (lay on ICI) "
+                        "and dp_pods data-parallel replicas span pods "
+                        "(DCN); only the [N/tp, D] slice-gradient psum "
+                        "crosses pods")
     p.add_argument("--val_sampled", action="store_true",
                    help="with --sample_fanouts: validate with the sampled "
                         "encoder (O(frontier) per batch) instead of a "
@@ -239,7 +245,7 @@ def main(argv=None):
                                  args.output_dir,
                                  fanouts=tuple(args.sample_fanouts),
                                  n_devices=sample_ndev, zero1=args.zero1,
-                                 zero3=args.zero3,
+                                 zero3=args.zero3, dp_pods=args.dp_pods,
                                  sparse_emb=args.sparse_emb,
                                  val_sampled=args.val_sampled)
         if args.resume:

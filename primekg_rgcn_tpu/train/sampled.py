@@ -649,6 +649,7 @@ def build_sampled_train_step_zero3(
     mode: str = "uniform",
     layout: str = "auto",
     axis_name: str = "data",
+    dp_axis: str = None,
 ):
     """Fully-sharded embedding table ("ZeRO-3" for the 97%-of-params leaf).
 
@@ -675,8 +676,17 @@ def build_sampled_train_step_zero3(
     loss, full-pytree global-norm clip) up to float reduction order.
 
     Returns ``(init_state, step, to_full, to_sharded)``: params carry the
-    node table as a device-major [n_dev, n_loc, D] leaf; ``to_full`` /
+    node table as a device-major [n_tp, n_loc, D] leaf; ``to_full`` /
     ``to_sharded`` convert that leaf for eval/checkpoint interchange.
+
+    ``dp_axis`` turns this hierarchical: on a 2-D mesh (``dp_axis``,
+    ``axis_name``) the table shards over ``axis_name`` (lay it on ICI) and
+    the batch additionally splits over ``dp_axis`` (DCN across pods). The
+    heavy frontier-row fetch then stays pod-internal; the ONLY cross-pod
+    traffic is the slice-gradient psum ([N/n_tp, D]) plus the tiny dense
+    leaves — the scaling-book recipe of keeping fat collectives on ICI.
+    Bit-compatible with the flat layout: an (n_dp, n_tp) mesh reproduces a
+    flat n_dp*n_tp run up to reduction order.
     """
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -688,21 +698,30 @@ def build_sampled_train_step_zero3(
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     inner = make_optimizer(train_cfg, include_clip=False)
-    n_dev = mesh.devices.size
+    n_tp = int(mesh.shape[axis_name])
+    n_dp = int(mesh.shape[dp_axis]) if dp_axis else 1
+    n_dev = n_dp * n_tp
+    axes = (dp_axis, axis_name) if dp_axis else (axis_name,)
     n_nodes = model_cfg.num_nodes
-    n_loc = -(-n_nodes // n_dev)
-    pad_rows = n_dev * n_loc - n_nodes
-    _fetch = _make_sharded_row_fetch(axis_name, n_dev)
+    n_loc = -(-n_nodes // n_tp)
+    pad_rows = n_tp * n_loc - n_nodes
+    _fetch = _make_sharded_row_fetch(axis_name, n_tp)
+
+    def vary(a):
+        for ax in axes:
+            a = jax.tree_util.tree_map(
+                lambda x: jax.lax.pcast(x, ax, to="varying"), a)
+        return a
 
     def to_sharded(emb_full):
         if pad_rows:
             emb_full = jnp.concatenate(
                 [emb_full, jnp.zeros((pad_rows, emb_full.shape[1]),
                                      emb_full.dtype)], axis=0)
-        return emb_full.reshape(n_dev, n_loc, emb_full.shape[1])
+        return emb_full.reshape(n_tp, n_loc, emb_full.shape[1])
 
     def to_full(emb_dm):
-        return emb_dm.reshape(n_dev * n_loc, -1)[:n_nodes]
+        return emb_dm.reshape(n_tp * n_loc, -1)[:n_nodes]
 
     def init_state(params) -> TrainState:
         emb, rest = _split_emb(params)
@@ -710,9 +729,9 @@ def build_sampled_train_step_zero3(
         slice_zero = jnp.zeros((n_loc, emb.shape[1]), emb.dtype)
         one = inner.init(slice_zero)
         emb_state = jax.tree_util.tree_map(
-            lambda a: (jnp.broadcast_to(a, (n_dev,) + a.shape)
+            lambda a: (jnp.broadcast_to(a, (n_tp,) + a.shape)
                        if getattr(a, "ndim", None) is not None and a.ndim
-                       else jnp.broadcast_to(jnp.asarray(a), (n_dev,))),
+                       else jnp.broadcast_to(jnp.asarray(a), (n_tp,))),
             one)
         sharded = NamedSharding(mesh, P(axis_name))
         emb_state = jax.tree_util.tree_map(
@@ -724,16 +743,17 @@ def build_sampled_train_step_zero3(
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis_name), P(), P(), P(axis_name), P(),
-                       P(axis_name), P()),
+                       P(axes), P()),
              out_specs=(P(axis_name), P(), P(), P(axis_name), (P(), P())),
              check_vma=True)
     def _step(emb_dm, rest, rest_state, emb_state, csr_arrs, batch_shard,
               key):
         pos = batch_shard[0]
-        vary = lambda a: jax.lax.pcast(a, axis_name, to="varying")  # noqa: E731
         csr_local = _rebuild(jax.tree_util.tree_map(vary, csr_arrs))
         my = jax.lax.axis_index(axis_name)
-        dev_key = jax.random.fold_in(vary(key), my)
+        dev_idx = my if not dp_axis else (
+            my + n_tp * jax.lax.axis_index(dp_axis))
+        dev_key = jax.random.fold_in(vary(key), dev_idx)
         emb_loc = emb_dm[0]                          # [n_loc, D] varying
         emb_state_loc = jax.tree_util.tree_map(lambda a: a[0], emb_state)
         rest_v = jax.tree_util.tree_map(vary, rest)
@@ -774,15 +794,18 @@ def build_sampled_train_step_zero3(
             loss_sums, argnums=(0, 1), has_aux=True)(emb_loc, rest_v)
         from jax.flatten_util import ravel_pytree
 
-        trio = jax.lax.psum(jnp.stack([loss_sum, correct, count]),
-                            axis_name)
+        trio = jax.lax.psum(jnp.stack([loss_sum, correct, count]), axes)
         total_count = jnp.maximum(trio[2], 1.0)
-        # g_emb already carries the GLOBAL gradient of this device's rows
-        # (the fetch's transpose all-gathers every device's row cotangents
-        # and owner-masks them); only the small dense leaves need a psum.
+        # g_emb carries the POD-global gradient of this device's rows (the
+        # fetch's transpose all-gathers the pod's row cotangents and
+        # owner-masks them); hierarchical mode adds one cross-pod psum of
+        # the [n_loc, D] slice — the only fat DCN collective. The small
+        # dense leaves psum over everything.
         g_emb = g_emb / total_count
+        if dp_axis:
+            g_emb = jax.lax.psum(g_emb, dp_axis)
         flat, unravel = ravel_pytree(g_rest)
-        g_rest = unravel(jax.lax.psum(flat, axis_name) / total_count)
+        g_rest = unravel(jax.lax.psum(flat, axes) / total_count)
 
         if train_cfg.grad_clip and train_cfg.grad_clip > 0:
             # Global norm over the full (virtual) pytree: slice sqnorms
@@ -830,15 +853,16 @@ def build_sampled_train_step_zero3(
     # --- sampled validation twin: same sharded fetch, no grad/update; the
     # table never materializes, so zero3 runs CAN validate at scale.
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis_name), P(), P(), P(axis_name), P()),
+             in_specs=(P(axis_name), P(), P(), P(axes), P()),
              out_specs=P(), check_vma=True)
     def _eval_shard(emb_dm, rest, csr_arrs, batch_shard, key):
         bm = batch_shard[0]
         pos, mask = bm[:, :3], bm[:, 3] > 0
-        vary = lambda a: jax.lax.pcast(a, axis_name, to="varying")  # noqa: E731
         csr_local = _rebuild(jax.tree_util.tree_map(vary, csr_arrs))
         my = jax.lax.axis_index(axis_name)
-        dev_key = jax.random.fold_in(vary(key), my)
+        dev_idx = my if not dp_axis else (
+            my + n_tp * jax.lax.axis_index(dp_axis))
+        dev_key = jax.random.fold_in(vary(key), dev_idx)
         emb_loc = emb_dm[0]
 
         k_neg, k_sample = jax.random.split(dev_key)
@@ -866,8 +890,7 @@ def build_sampled_train_step_zero3(
         rel_emb = jnp.take(rest_v["decoder"]["rel_emb"], rels, axis=0)
         scores = distmult_score(emb[:m], emb[m:], rel_emb)
         loss_sum, correct, count = bce_stats(scores, labels, weights)
-        return jax.lax.psum(jnp.stack([loss_sum, correct, count]),
-                            axis_name)
+        return jax.lax.psum(jnp.stack([loss_sum, correct, count]), axes)
 
     @jax.jit
     def _jit_eval(params, batch_dm, key, csr_arrs):
@@ -899,8 +922,8 @@ class SampledTrainer:
 
     def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
                  val_edges, output_dir, *, fanouts=(15, 10), mode="uniform",
-                 n_devices=None, zero1=False, zero3=False, sparse_emb=False,
-                 val_sampled=False):
+                 n_devices=None, zero1=False, zero3=False, dp_pods=0,
+                 sparse_emb=False, val_sampled=False):
         import numpy as np
         from pathlib import Path
 
@@ -941,10 +964,20 @@ class SampledTrainer:
             if zero1 and zero3:
                 raise ValueError("--zero1 and --zero3 are exclusive")
             if zero3:
+                dp_kw = {}
+                if dp_pods and dp_pods > 1:
+                    if n_devices % dp_pods:
+                        raise ValueError(
+                            f"--dp_pods {dp_pods} must divide the "
+                            f"{n_devices}-device mesh")
+                    from primekg_rgcn_tpu.parallel.mesh import make_mesh_2d
+
+                    mesh = make_mesh_2d(dp_pods, n_devices // dp_pods)
+                    dp_kw["dp_axis"] = "dp"
                 (init_state, self.step_fn, to_full,
                  to_sharded) = build_sampled_train_step_zero3(
                     csr_like, model_cfg, train_cfg, mesh, fanouts=fanouts,
-                    mode=mode)
+                    mode=mode, **dp_kw)
                 self.state = init_state(params)
 
                 def _full(p):

@@ -641,3 +641,51 @@ def test_sampled_trainer_early_stopping(tmp_path, monkeypatch):
     t.eval_fn = lambda p, k: (1.0, 0.5)
     hist = t.train()
     assert len(hist["val_losses"]) == 4  # window 3 + the first epoch
+
+
+def test_zero3_hierarchical_matches_flat():
+    """zero3 on a 2-D (dp, tp) mesh — table on the tp (ICI) axis, batch
+    additionally split over dp (DCN) — must reproduce the flat 1-D run
+    exactly: same per-device RNG enumeration, one extra slice-grad psum."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh, make_mesh_2d
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step_zero3
+
+    rng = np.random.default_rng(1)
+    n, r, e = 90, 12, 800
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.3)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    edges = jnp.asarray(np.stack([src, dst, rel], 1).astype(np.int32))
+
+    init_f, step_f, full_f, _ = build_sampled_train_step_zero3(
+        graph, cfg, tcfg, make_mesh(8), fanouts=(5, 4))
+    init_h, step_h, full_h, _ = build_sampled_train_step_zero3(
+        graph, cfg, tcfg, make_mesh_2d(2, 4), fanouts=(5, 4), dp_axis="dp")
+
+    def run(init, step, to_full):
+        p0 = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True),
+                                    params)
+        st = init(p0)
+        key = jax.random.PRNGKey(9)
+        for _ in range(4):
+            key, k, kb = jax.random.split(key, 3)
+            bi = jax.random.randint(kb, (64,), 0, e)
+            st, (loss, _) = step(st, edges[bi], k)
+        assert np.isfinite(float(loss))
+        return (to_full(st.params["encoder"]["node_emb"]),
+                st.params["decoder"]["rel_emb"])
+
+    ef, rf = run(init_f, step_f, full_f)
+    eh, rh = run(init_h, step_h, full_h)
+    np.testing.assert_allclose(np.asarray(ef), np.asarray(eh),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(rh),
+                               rtol=3e-5, atol=3e-6)
