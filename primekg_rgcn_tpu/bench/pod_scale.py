@@ -201,11 +201,14 @@ def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
     # Frontier-capacity ladder -> analytic per-device ICI bytes per step
     # (hardware-independent; the zero3 collectives are ids all_gather +
     # rows psum_scatter + row-cotangent all_gather, all n*cap-sized).
+    # Seeds per device = heads + tails of the candidate batch:
+    # 2 * per_dev * (1 + num_neg).
     per_dev = batch_size // n_devices
-    cap = _unique_cap(4 * per_dev * (1 + train_cfg.num_neg_samples),
+    cap = _unique_cap(2 * per_dev * (1 + train_cfg.num_neg_samples),
                       num_nodes)
     for f in budgets:
-        cap = _unique_cap(cap * (1 + int(f)), num_nodes)
+        slots = int(f) if use_combined else int(f) * num_relations
+        cap = _unique_cap(cap * (1 + slots), num_nodes)
     row_bytes = emb_dim * 4
     report["zero3_comms_model"] = {
         "frontier_cap": int(cap),
@@ -218,8 +221,12 @@ def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
         checkpoint(report)
 
     mesh = make_mesh(n_devices)
+    # Pass the ORIGINAL fanouts: the builder re-resolves them against the
+    # same CSR to the same budgets (feeding budgets back in would have
+    # resolve_sampler multiply by avg_present_relations a second time and
+    # silently run a fatter step than the model above describes).
     init_state, step, to_full, _ = build_sampled_train_step_zero3(
-        csr, model_cfg, train_cfg, mesh, fanouts=budgets, layout="combined"
+        csr, model_cfg, train_cfg, mesh, fanouts=fanouts, layout="combined"
         if use_combined else "per-relation")
     params = init_params(jax.random.PRNGKey(0), model_cfg)
     state = init_state(params)

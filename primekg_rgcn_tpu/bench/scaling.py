@@ -138,7 +138,8 @@ def comms_bytes_model(graph, model_cfg, n_devices: int,
         from primekg_rgcn_tpu.train.sampled import resolve_sampler
 
         _, budgets, comb = resolve_sampler(graph, (15, 10))
-        cap = _unique_cap(4 * max(batch_size // n, 1) * 2, N)
+        # Seeds per device = heads + tails = 2 * per_dev * (1 + num_neg=1).
+        cap = _unique_cap(2 * max(batch_size // n, 1) * 2, N)
         for f in budgets:
             slots = int(f) if comb else int(f) * R
             cap = _unique_cap(cap * (1 + slots), N)

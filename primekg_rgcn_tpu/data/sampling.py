@@ -525,16 +525,18 @@ def build_combined_csr(graph: RelGraph) -> CombinedCsr:
     deg_total = np.diff(row_start).astype(np.int32)
     # Per-edge (dst, rel) degree via run lengths — the CSR is (dst, rel)-
     # sorted so equal pairs are contiguous; O(E) host memory, no [N * R]
-    # bincount table. float16 is exact for run lengths < 2048; relative
-    # error of 1/deg beyond that is <= 0.05%, negligible for importance
-    # weights.
+    # bincount table. float16 is exact for run lengths < 2048 and <= 0.05%
+    # off up to 65504 — but OVERFLOWS to inf beyond (a power-law hub's
+    # importance weight would silently become 0), so graphs with such hubs
+    # keep float32.
     e = d.shape[0]
     if e:
         key64 = d.astype(np.int64) * r_count + rel_s
         starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(key64)) + 1, [e]])
         lens = np.diff(starts)
-        edge_deg = np.repeat(lens, lens).astype(np.float16)
+        deg_dtype = np.float16 if lens.max() < 60000 else np.float32
+        edge_deg = np.repeat(lens, lens).astype(deg_dtype)
         # distinct (dst, rel) pairs per node = runs per node.
         present = float(
             np.bincount(d[starts[:-1]], minlength=n + 1).mean())

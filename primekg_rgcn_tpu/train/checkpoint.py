@@ -126,7 +126,8 @@ def _load_torch(path: Path) -> Dict[str, Any]:
     }
 
 
-def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
+def load(path, example_state: Optional[Any] = None,
+         raw: bool = False) -> Dict[str, Any]:
     """Read a checkpoint saved by :func:`save`, or a reference ``.pt``.
 
     Torch checkpoints are auto-detected (by suffix or file magic) and
@@ -137,6 +138,12 @@ def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
     restored arrays adopt its exact structure/dtypes; otherwise the model is
     rebuilt from the stored model_config, mirroring the reference's
     shape-driven reconstruction (reference: src/evaluate.py:672-708).
+
+    ``raw=True`` skips template construction entirely and returns the
+    msgpack state-dict wrapped in a TrainState — for callers that re-map
+    the structure themselves (zero3 resume) it avoids allocating a full
+    dense params+optimizer template (2.56 GB params + 5.1 GB adam moments
+    at 10M nodes) that would only be discarded.
     """
     # Read-after-write consistency with the async writer: drain any queued
     # save before opening (no-op when nothing is pending).
@@ -148,6 +155,16 @@ def load(path, example_state: Optional[Any] = None) -> Dict[str, Any]:
         path = path.with_suffix("")
     with open(path.with_suffix(".json")) as f:
         meta = json.load(f)
+
+    if raw:
+        from primekg_rgcn_tpu.train.loop import TrainState
+
+        with open(path.with_suffix(".msgpack"), "rb") as f:
+            restored = serialization.msgpack_restore(f.read())
+        meta["state"] = TrainState(restored["params"],
+                                   restored.get("opt_state"),
+                                   jnp.asarray(restored.get("step", 0)))
+        return meta
 
     if example_state is None:
         from primekg_rgcn_tpu.config import ModelConfig, TrainConfig

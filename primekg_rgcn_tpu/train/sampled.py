@@ -244,7 +244,10 @@ def build_sampled_eval_epoch(csr, val_edges, model_cfg: ModelConfig,
     edges = np.asarray(val_edges, dtype=np.int32)
     num_edges = int(edges.shape[0])
     b = train_cfg.batch_size
-    n_steps = -(-num_edges // b)
+    n_steps = max(-(-num_edges // b), 1)
+    # Val arrays enter jit as ARGUMENTS like the CSR tables (captured
+    # constants are rematerialized host-side every call on the hosted
+    # backend — see _csr_operands).
     edges_pad = jnp.asarray(
         np.concatenate([edges, np.zeros((1, 3), np.int32)], axis=0))
     idx = np.concatenate([
@@ -254,7 +257,7 @@ def build_sampled_eval_epoch(csr, val_edges, model_cfg: ModelConfig,
     idx = jnp.asarray(idx)
 
     @jax.jit
-    def _eval(params, key, csr_arrs):
+    def _eval(params, key, csr_arrs, edges_pad, idx):
         csr_l = _rebuild(csr_arrs)
 
         def scan_step(stats, inp):
@@ -284,10 +287,11 @@ def build_sampled_eval_epoch(csr, val_edges, model_cfg: ModelConfig,
         stats0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
         (loss_sum, correct, count), _ = jax.lax.scan(
             scan_step, stats0, (idx, keys))
-        return loss_sum / count, correct / count
+        denom = jnp.maximum(count, 1.0)
+        return loss_sum / denom, correct / denom
 
     def eval_fn(params, key):
-        return _eval(params, key, csr_arrays)
+        return _eval(params, key, csr_arrays, edges_pad, idx)
 
     return eval_fn
 
@@ -947,17 +951,29 @@ class SampledTrainer:
         key = jax.random.PRNGKey(train_cfg.seed)
         self.key, k_init = jax.random.split(key)
         params = init_params(k_init, model_cfg)
-        self.state = TrainState(params, self.optimizer.init(params),
-                                jnp.zeros((), jnp.int32))
         # Identity param converters; zero3 swaps in sharded<->full ones.
         self._to_full_params = lambda p: p
         self._to_sharded_params = lambda p: p
-        self._zero3 = bool(zero3)
+        self._zero3 = False
+        multi = bool(n_devices and n_devices > 1)
+        # Sharding flags must not degrade silently: a user asking for a
+        # sharded optimizer on a 1-device run would otherwise train a
+        # different program than requested.
+        if (zero1 or zero3 or dp_pods) and not multi:
+            raise ValueError(
+                "--zero1/--zero3/--dp_pods need a multi-device mesh: pass "
+                "--shard (and --n_devices > 1) to enable one")
+        if sparse_emb and multi:
+            raise ValueError(
+                "--sparse_emb is the single-chip memory mode; the "
+                "multi-device analogue is --zero3 (sharded table)")
+        if dp_pods and dp_pods > 1 and not zero3:
+            raise ValueError("--dp_pods requires --zero3")
         # Resolve the pick layout ONCE; every builder (train step, sampled
         # val) then shares the same CSR instead of rebuilding it (the
         # combined CSR costs ~90 s + 700 MB at the 100M-edge config).
         csr_like = resolve_sampler(graph, fanouts)[0]
-        if n_devices and n_devices > 1:
+        if multi:
             from primekg_rgcn_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_devices)
@@ -979,6 +995,7 @@ class SampledTrainer:
                     csr_like, model_cfg, train_cfg, mesh, fanouts=fanouts,
                     mode=mode, **dp_kw)
                 self.state = init_state(params)
+                self._zero3 = True
 
                 def _full(p):
                     emb, rest = _split_emb(p)
@@ -999,6 +1016,8 @@ class SampledTrainer:
                 self.step_fn = build_sampled_train_step_dp(
                     csr_like, model_cfg, train_cfg, self.optimizer, mesh,
                     fanouts=fanouts, mode=mode)
+                self.state = TrainState(params, self.optimizer.init(params),
+                                        jnp.zeros((), jnp.int32))
         else:
             if sparse_emb and (train_cfg.optimizer != "sgd"
                                or train_cfg.grad_clip
@@ -1012,6 +1031,8 @@ class SampledTrainer:
             self.step_fn = build_sampled_train_step(
                 csr_like, model_cfg, train_cfg, self.optimizer,
                 fanouts=fanouts, mode=mode, sparse_emb=sparse_emb)
+            self.state = TrainState(params, self.optimizer.init(params),
+                                    jnp.zeros((), jnp.int32))
         if val_sampled and self._zero3:
             # Sharded sampled validation: the table never materializes.
             edges_v = np.asarray(val_edges, dtype=np.int32)
@@ -1067,7 +1088,7 @@ class SampledTrainer:
             # sharded emb_state) structure.
             from flax import serialization as _ser
 
-            payload = ckpt_lib.load(path)
+            payload = ckpt_lib.load(path, raw=True)
             raw = payload["state"]
             self.state = TrainState(
                 self._to_sharded_params(raw.params),

@@ -689,3 +689,34 @@ def test_zero3_hierarchical_matches_flat():
                                rtol=3e-5, atol=3e-6)
     np.testing.assert_allclose(np.asarray(rf), np.asarray(rh),
                                rtol=3e-5, atol=3e-6)
+
+
+def test_sharding_flags_do_not_degrade_silently(tmp_path):
+    """zero1/zero3/dp_pods without a mesh, sparse_emb with one, and dp_pods
+    without zero3 must all raise instead of silently training a different
+    program than requested."""
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.sampled import SampledTrainer
+
+    graph, cfg, params, csr, _ = _setup(e=300)
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+
+    def make(**kw):
+        tcfg = kw.pop("tcfg", TrainConfig(batch_size=32, lr=1e-2, epochs=1))
+        return SampledTrainer(cfg, tcfg, graph, graph, edges, edges[:32],
+                              tmp_path / "o", fanouts=(3, 3), **kw)
+
+    with pytest.raises(ValueError, match="multi-device"):
+        make(zero3=True)
+    with pytest.raises(ValueError, match="multi-device"):
+        make(zero1=True, n_devices=1)
+    with pytest.raises(ValueError, match="zero3"):
+        make(dp_pods=2, n_devices=len(jax.devices()))
+    if len(jax.devices()) > 1:
+        with pytest.raises(ValueError, match="single-chip"):
+            make(sparse_emb=True, n_devices=len(jax.devices()),
+                 tcfg=TrainConfig(batch_size=32, lr=1e-2, epochs=1,
+                                  optimizer="sgd", grad_clip=0.0))
