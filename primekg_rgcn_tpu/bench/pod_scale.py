@@ -272,8 +272,17 @@ def main(argv=None):
     os.environ.setdefault("PRIMEKG_FORCE_CPU", "1")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8").strip()
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "collective_call_terminate" not in flags:
+        # 8 simulated devices on a few host cores legitimately spend
+        # minutes of compute between collectives at config-5 scale; XLA
+        # CPU's default 40 s rendezvous TERMINATION kills the process when
+        # thunk scheduling lets one device reach the collective early
+        # (observed: two crashes vs one lucky pass on a 4-core host).
+        flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+                  " --xla_cpu_collective_timeout_seconds=7200")
+    os.environ["XLA_FLAGS"] = flags
 
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--nodes", type=int, default=10_000_000)
