@@ -690,6 +690,17 @@ def test_zero3_hierarchical_matches_flat():
     np.testing.assert_allclose(np.asarray(rf), np.asarray(rh),
                                rtol=3e-5, atol=3e-6)
 
+    # The sharded eval twin must run under the 2-D mesh too.
+    st = init_h(jax.tree_util.tree_map(
+        lambda a: jnp.array(a, copy=True), params))
+    pos_mask = np.zeros((64, 4), np.int32)
+    pos_mask[:50, :3] = np.asarray(edges[:50])
+    pos_mask[:50, 3] = 1
+    trio = np.asarray(step_h.eval_batch(st.params, jnp.asarray(pos_mask),
+                                        jax.random.PRNGKey(1)))
+    assert trio[2] == 100.0  # 50 valid positives + 50 negatives
+    assert np.isfinite(trio).all()
+
 
 def test_sharding_flags_do_not_degrade_silently(tmp_path):
     """zero1/zero3/dp_pods without a mesh, sparse_emb with one, and dp_pods
