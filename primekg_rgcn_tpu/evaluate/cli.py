@@ -28,6 +28,11 @@ def parse_args(argv=None):
     p.add_argument("--k_values", type=int, nargs="+", default=[10, 50])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--impl", choices=["auto", "xla", "pallas"], default="auto")
+    p.add_argument("--shard", choices=["none", "node"], default="none",
+                   help="node: fully-sharded evaluation over the mesh — "
+                        "node-partitioned encode feeds device-major "
+                        "rank/score kernels; no device materializes the "
+                        "[N, D] table (for graphs that exceed one chip)")
     return p.parse_args(argv)
 
 
@@ -79,7 +84,7 @@ def main(argv=None):
         EvalConfig(batch_size=args.batch_size,
                    num_neg_samples=args.num_neg_samples,
                    k_values=tuple(args.k_values), seed=args.seed),
-        layer_fn=layer_fn)
+        layer_fn=layer_fn, shard_encode=args.shard)
     metrics = evaluator.evaluate()
 
     model_info = {

@@ -49,6 +49,7 @@ class Evaluator:
         eval_cfg: Optional[EvalConfig] = None,
         *,
         layer_fn=None,
+        shard_encode: str = "none",
     ):
         from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment
 
@@ -60,16 +61,45 @@ class Evaluator:
         self.layer_fn = layer_fn or rgcn_layer_segment
         self.scores: Optional[np.ndarray] = None
         self.labels: Optional[np.ndarray] = None
-
-        # One deterministic full-graph encode, reused everywhere.
-        self._node_emb = jax.jit(
-            lambda p: encoder_apply(p, full_graph, model_cfg, train=False,
-                                    layer_fn=self.layer_fn)
-        )(params)
         self._rel_emb = params["decoder"]["rel_emb"]
 
-        self._score_triples = jax.jit(self._score_triples_impl)
-        self._rank_batch = jax.jit(self._rank_batch_impl)
+        if shard_encode == "node" and len(jax.devices()) > 1:
+            # Fully-sharded pipeline: node-partitioned encode keeps the
+            # entity table device-major ([n_dev, N/n, D]) and the
+            # rank/score kernels fetch query endpoints with owner-masked
+            # psums — no device ever materializes [N, D]. This is the
+            # evaluation mode for graphs whose encode/table exceed one
+            # chip (BASELINE config 5).
+            from primekg_rgcn_tpu.evaluate.sharded_ranking import (
+                build_sharded_eval_from_sharded,
+            )
+            from primekg_rgcn_tpu.parallel.mesh import make_mesh
+            from primekg_rgcn_tpu.parallel.node_shard import (
+                build_node_sharded_forward,
+                partition_nodes,
+            )
+
+            mesh = make_mesh(len(jax.devices()))
+            nsg = partition_nodes(full_graph, mesh.devices.size)
+            emb_dm = build_node_sharded_forward(
+                mesh, nsg, model_cfg, gather=False)(params)
+            rank_fn, score_fn = build_sharded_eval_from_sharded(
+                mesh, emb_dm, self._rel_emb, full_graph.num_nodes)
+            self._node_emb = None
+            self._score_triples = lambda h, t, r: jax.nn.sigmoid(
+                score_fn(h, t, r))
+            self._rank_batch = rank_fn
+        elif shard_encode not in ("none", "node"):
+            raise ValueError(f"unknown shard_encode: {shard_encode!r}")
+        else:
+            # One deterministic full-graph encode, reused everywhere.
+            self._node_emb = jax.jit(
+                lambda p: encoder_apply(p, full_graph, model_cfg,
+                                        train=False,
+                                        layer_fn=self.layer_fn)
+            )(params)
+            self._score_triples = jax.jit(self._score_triples_impl)
+            self._rank_batch = jax.jit(self._rank_batch_impl)
 
     # -- jitted kernels ------------------------------------------------------
     def _score_triples_impl(self, heads, tails, rels):
@@ -128,6 +158,10 @@ class Evaluator:
         if sharded is None:
             sharded = len(jax.devices()) > 1
         rank_fn = self._rank_batch
+        if self._node_emb is None:
+            # shard_encode="node": _rank_batch already IS the fully-sharded
+            # ranker over the device-major table.
+            sharded = False
         if sharded and len(jax.devices()) > 1:
             from primekg_rgcn_tpu.evaluate.sharded_ranking import (
                 build_sharded_ranker,

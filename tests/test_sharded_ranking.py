@@ -90,3 +90,42 @@ def test_fully_sharded_eval_pipeline_matches_single_device():
                                   ranks_single)
     np.testing.assert_allclose(np.asarray(score_fn(heads, tails, rels)),
                                scores_single, rtol=1e-4, atol=1e-5)
+
+
+def test_evaluator_shard_encode_matches_dense():
+    """Evaluator(shard_encode='node') — the CLI-reachable fully-sharded
+    pipeline — must reproduce the dense Evaluator's results exactly (same
+    RNG, same metrics; encode parity is what the node-sharded forward
+    guarantees)."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    import numpy as np
+
+    from primekg_rgcn_tpu.config import EvalConfig, ModelConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.evaluate.evaluator import Evaluator
+    from primekg_rgcn_tpu.models.rgcn import init_params
+
+    rng = np.random.default_rng(2)
+    n, r, e = 120, 4, 900
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    test_edges = np.stack([src[:100], dst[:100], rel[:100]], 1)
+    ecfg = EvalConfig(batch_size=64, k_values=(5, 10))
+
+    dense = Evaluator(params, cfg, graph, test_edges, ecfg).evaluate()
+    shard = Evaluator(params, cfg, graph, test_edges, ecfg,
+                      shard_encode="node").evaluate()
+
+    assert dense["ranking"] == shard["ranking"]
+    for k, v in dense["classification"].items():
+        np.testing.assert_allclose(shard["classification"][k], v,
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
