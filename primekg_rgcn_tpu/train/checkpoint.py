@@ -25,17 +25,42 @@ import jax.numpy as jnp
 from flax import serialization
 
 
+def _state_to_host(state):
+    """Device -> host snapshot that is multi-process safe.
+
+    In a multi-host run, sharded arrays are only PARTIALLY addressable per
+    process — np conversion would throw. Such leaves are first resharded
+    to replicated (an XLA all-gather every process participates in), after
+    which each process reads its local full copy. Single-process arrays
+    take the plain device_get path.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def one(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            rep = NamedSharding(a.sharding.mesh, PartitionSpec())
+            a = jax.jit(lambda x: x, out_shardings=rep)(a)
+        return jax.device_get(a)
+
+    return jax.tree_util.tree_map(one, state)
+
+
 def save(path, payload: Dict[str, Any]) -> None:
     """Write a checkpoint. ``payload`` must contain "state" plus JSON-safe
     metadata fields.
 
     Both files are written to temporaries and atomically renamed, so a
     SIGKILL mid-save can never leave a torn checkpoint (the kill-and-resume
-    drill in tests/test_kill_resume.py relies on this)."""
+    drill in tests/test_kill_resume.py relies on this).
+
+    Multi-process: call from EVERY process (the host snapshot may involve
+    collectives); only process 0 touches the filesystem.
+    """
     path = Path(path)
+    state = _state_to_host(payload["state"])
+    if jax.process_index() != 0:
+        return
     path.parent.mkdir(parents=True, exist_ok=True)
-    state = payload["state"]
-    state = jax.device_get(state)
     blob = serialization.to_bytes(state)
     tmp = path.with_suffix(".msgpack.tmp")
     with open(tmp, "wb") as f:
@@ -70,7 +95,7 @@ def save_async(path, payload: Dict[str, Any]):
     if _async_pool is None:
         _async_pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="ckpt-save")
-    snapshot = dict(payload, state=jax.device_get(payload["state"]))
+    snapshot = dict(payload, state=_state_to_host(payload["state"]))
     fut = _async_pool.submit(save, path, snapshot)
     _pending.append(fut)
     return fut

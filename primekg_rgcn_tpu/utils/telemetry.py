@@ -23,14 +23,23 @@ import jax
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics stream."""
+    """Append-only JSONL metrics stream.
+
+    Multi-process safe: only process 0 writes (every process constructs a
+    logger and calls log(); secondary ranks racing appends into the same
+    file would interleave torn lines).
+    """
 
     def __init__(self, path):
         self.path = Path(path)
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.path, "a")
+        self._f = None
+        if jax.process_index() == 0:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a")
 
     def log(self, event: str, **fields: Any) -> None:
+        if self._f is None:
+            return
         rec = {"event": event, "time": time.time(), **fields}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()

@@ -82,8 +82,24 @@ def main():
         rows[int(s.index[0].start or 0)] = np.asarray(s.data)
     np.savez(os.path.join(outdir, f"drill_p{pid}_{'solo' if solo else 'mh'}"),
              loss=loss, **{str(k): v for k, v in rows.items()})
+
+    # Checkpoint from a multi-process state: every process calls save (the
+    # host snapshot all-gathers the partially-addressable leaves), only
+    # process 0 writes; then it loads the file back and checks the table.
+    from primekg_rgcn_tpu.train import checkpoint as ckpt_lib
+
+    ck = os.path.join(outdir, f"ck_{'solo' if solo else 'mh'}")
+    ckpt_lib.save(ck, {
+        "epoch": 1, "state": state, "best_val_loss": loss,
+        "best_val_acc": 0.0, "history": {}, "model_config": cfg.to_dict(),
+        "train_config": tcfg.to_dict()})
+    if pid == 0:
+        back = ckpt_lib.load(ck, raw=True)
+        emb_back = np.asarray(back["state"].params["encoder"]["node_emb"])
+        for start, val in rows.items():
+            np.testing.assert_array_equal(emb_back[start], val[0])
     print(f"[{'solo' if solo else f'p{pid}'}] loss={loss:.6f} "
-          f"shards={sorted(rows)}", flush=True)
+          f"shards={sorted(rows)} ckpt=ok", flush=True)
 
 
 if __name__ == "__main__":
