@@ -195,6 +195,22 @@ def main(argv=None):
 
     apply_platform_env()
     args = parse_args(argv)
+    if args.distributed:
+        # MUST run before anything touches jax (graph building already
+        # materializes jnp arrays, which initializes the XLA backend and
+        # makes a later jax.distributed.initialize a silent no-op — each
+        # process would then train an INDEPENDENT local-mesh run).
+        from primekg_rgcn_tpu.train.multichip import (
+            maybe_initialize_distributed,
+        )
+
+        ok = maybe_initialize_distributed(args.coordinator_address,
+                                          args.num_processes,
+                                          args.process_id)
+        if not ok and (args.num_processes or 0) > 1:
+            raise RuntimeError(
+                "--distributed with --num_processes > 1 did not yield a "
+                "multi-process runtime")
     if args.checkpoint_dir is not None:
         logging.getLogger("train").warning(
             "--checkpoint_dir is deprecated; use --output_dir")
@@ -255,14 +271,8 @@ def main(argv=None):
         return
 
     if args.shard != "none":
-        from primekg_rgcn_tpu.train.multichip import (
-            ShardedTrainer,
-            maybe_initialize_distributed,
-        )
+        from primekg_rgcn_tpu.train.multichip import ShardedTrainer
 
-        if args.distributed:
-            maybe_initialize_distributed(args.coordinator_address,
-                                         args.num_processes, args.process_id)
         trainer = ShardedTrainer(
             model_cfg, train_cfg, train_graph, full_graph, train_edges,
             val_edges, args.output_dir, shard=args.shard,

@@ -46,3 +46,56 @@ def test_two_process_zero3_matches_single_process(tmp_path):
         np.testing.assert_allclose(ref[k], mh0[k], rtol=2e-6, atol=2e-7)
     for k in ("2", "3"):
         np.testing.assert_allclose(ref[k], mh1[k], rtol=2e-6, atol=2e-7)
+
+
+@pytest.mark.timeout(600)
+def test_distributed_cli_matches_single_process(tmp_path):
+    """train.cli --distributed across 2 processes == the same run on one
+    process with the same 4-device mesh, bit-for-bit (val-loss history).
+    Regression: the distributed init must run BEFORE graph building — a
+    late init silently no-ops (backend already live) and each process
+    trains an independent local-mesh run."""
+    base = [sys.executable, "-m", "primekg_rgcn_tpu.train.cli",
+            "--synthetic", "--synthetic_scale", "0.02", "--epochs", "2",
+            "--batch_size", "64", "--embedding_dim", "8",
+            "--hidden_dim", "8", "--shard", "edge"]
+
+    def env(ndev):
+        e = dict(os.environ, PYTHONPATH=str(REPO), PRIMEKG_FORCE_CPU="1",
+                 XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}")
+        return e
+
+    solo_dir = tmp_path / "solo"
+    r = subprocess.run(base + ["--n_devices", "4", "--output_dir",
+                               str(solo_dir)],
+                       env=env(4), cwd=tmp_path, capture_output=True,
+                       text=True, timeout=280)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    procs = []
+    for i in range(2):
+        d = tmp_path / f"mh{i}"
+        d.mkdir()
+        procs.append(subprocess.Popen(
+            base + ["--distributed", "--coordinator_address",
+                    "localhost:24917", "--num_processes", "2",
+                    "--process_id", str(i), "--output_dir", str(d / "out")],
+            env=env(2), cwd=d, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, err[-2000:]
+
+    import json
+
+    a = json.loads((tmp_path / "mh0" / "out" / "models" /
+                    "final_model.json").read_text())
+    b = json.loads((solo_dir / "models" / "final_model.json").read_text())
+    # Cross-process collective add-order differs from single-process at
+    # float rounding level (~1e-8 per step); everything else must agree.
+    for k in ("train_losses", "val_losses", "train_accs", "val_accs"):
+        np.testing.assert_allclose(a["history"][k], b["history"][k],
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    # Rank gating: only process 0 writes checkpoints.
+    assert not (tmp_path / "mh1" / "out" / "models" /
+                "final_model.json").exists()
