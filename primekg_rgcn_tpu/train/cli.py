@@ -102,6 +102,9 @@ def parse_args(argv=None):
     p.add_argument("--halo_impl", choices=["xla", "pallas"], default="xla",
                    help="node-shard halo transport (lax.all_to_all vs "
                         "remote-DMA Pallas kernel)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler (XLA/xprof) trace of the "
+                        "training run into this directory")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the JAX multi-host runtime "
                         "(jax.distributed) before building the mesh")
@@ -266,7 +269,11 @@ def main(argv=None):
                                  val_sampled=args.val_sampled)
         if args.resume:
             trainer.resume(args.resume)
-        trainer.train()
+        from primekg_rgcn_tpu.utils.telemetry import profile_trace
+
+        with profile_trace(args.profile_dir,
+                           enabled=bool(args.profile_dir)):
+            trainer.train()
         logging.getLogger("train").info("Training completed successfully!")
         return
 
@@ -284,7 +291,10 @@ def main(argv=None):
                           layer_fn=layer_fn)
     if args.resume:
         trainer.resume(args.resume)
-    trainer.train()
+    from primekg_rgcn_tpu.utils.telemetry import profile_trace
+
+    with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
+        trainer.train()
     logging.getLogger("train").info("Training completed successfully!")
 
 
