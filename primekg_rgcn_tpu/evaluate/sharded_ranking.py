@@ -170,3 +170,72 @@ def build_sharded_eval_from_sharded(mesh: Mesh, emb_dm, rel_emb,
                           tails.astype(jnp.int32), rels.astype(jnp.int32))
 
     return rank, score
+
+
+def build_sharded_topk(mesh: Mesh, emb_dm, rel_emb, num_nodes: int, k: int,
+                       *, axis_name: str = "data"):
+    """Distributed top-K tail retrieval over a sharded entity table.
+
+    The serving counterpart of ranking: ``topk(heads, rels) -> (scores
+    [B, K], tail_ids [B, K])`` without any device materializing the
+    [B, N] score matrix — each device computes ``lax.top_k`` over its
+    [B, N/n] slice scores, the K-candidate lists are all-gathered
+    ([n, B, K], K·n rows instead of N), and a final top-K over the
+    concatenated candidates selects the exact global winners (top-K is
+    distributive over partitions). Padded tail rows score -inf.
+
+    Tie behavior: winners are exact by SCORE; among exactly-equal scores
+    the returned id order follows slice-major candidate order (the dense
+    oracle's argsort order may differ within a tie group).
+    """
+    n_dev, n_loc, d = emb_dm.shape
+    rel_emb = jnp.asarray(rel_emb)
+    if k > n_loc:
+        raise ValueError(f"k={k} exceeds per-device slice {n_loc}")
+
+    def _fetch(local, ids, my):
+        owner = ids // n_loc
+        idx = jnp.where(owner == my, ids - my * n_loc, 0)
+        rows = jnp.take(local, idx, axis=0)
+        rows = jnp.where((owner == my)[:, None], rows,
+                         jnp.zeros_like(rows))
+        return jax.lax.psum(rows, axis_name)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis_name), P(), P()),
+             out_specs=(P(), P()), check_vma=True)
+    def _topk(emb_local, heads, rels):
+        local = emb_local[0]                       # [n_loc, D]
+        my = jax.lax.axis_index(axis_name)
+        heads = jax.lax.pcast(heads, axis_name, to="varying")
+        rels_v = jax.lax.pcast(rels, axis_name, to="varying")
+        he = _fetch(local, heads, my)              # [B, D]
+        re = jnp.take(rel_emb, rels_v, axis=0)
+        q = he * re                                # [B, D]
+        scores_local = q @ local.T                 # [B, n_loc]
+        base = my * n_loc
+        valid = (base + jnp.arange(n_loc)) < num_nodes
+        scores_local = jnp.where(valid[None, :], scores_local, -jnp.inf)
+        s_k, i_k = jax.lax.top_k(scores_local, k)  # [B, K] local winners
+        i_k = i_k + base
+        # Candidate exchange: K*n rows per query, not N. Every device
+        # receives the identical concatenation, so the gather is typed
+        # invariant for the replicated out_specs (same pattern as the
+        # ZeRO-1 table rebuild).
+        from jax._src.lax.parallel import all_gather_invariant
+
+        s_all = all_gather_invariant(s_k, axis_name)   # [n, B, K]
+        i_all = all_gather_invariant(i_k, axis_name)
+        b = s_k.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(b, -1)
+        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(b, -1)
+        s_top, pos = jax.lax.top_k(s_flat, k)
+        i_top = jnp.take_along_axis(i_flat, pos, axis=1)
+        return s_top, i_top
+
+    _jit = jax.jit(_topk)
+
+    def topk(heads, rels):
+        return _jit(emb_dm, jnp.asarray(heads, jnp.int32),
+                    jnp.asarray(rels, jnp.int32))
+
+    return topk

@@ -142,3 +142,27 @@ def test_sampled_training_cli(tiny_dataset):
     payload = ckpt.load(out / "models" / "final_model")
     assert payload["epoch"] == 2
     assert len(payload["history"]["train_losses"]) == 2
+
+
+def test_predict_cli_dense_equals_sharded(tiny_dataset, tmp_path):
+    """Top-K prediction CLI: dense vs fully-sharded paths return the same
+    tails, names resolved from mappings."""
+    import json
+
+    from primekg_rgcn_tpu.evaluate.predict_cli import main as predict_main
+
+    ckpt = tiny_dataset / "output" / "models" / "best_model"
+    if not ckpt.with_suffix(".msgpack").exists():
+        pytest.skip("training test must run first (module-ordered)")
+    common = ["--model_path", str(ckpt),
+              "--data_dir", str(tiny_dataset / "processed"),
+              "--heads", "0", "5", "--relation", "0", "--topk", "4"]
+    dense = predict_main(common + ["--output",
+                                   str(tmp_path / "dense.json")])
+    shard = predict_main(common + ["--shard", "node", "--output",
+                                   str(tmp_path / "shard.json")])
+    for a, b in zip(dense, shard):
+        assert [r["tail_id"] for r in a["predictions"]] == \
+            [r["tail_id"] for r in b["predictions"]]
+    saved = json.loads((tmp_path / "dense.json").read_text())
+    assert saved[0]["predictions"][0]["tail_name"]  # names resolved

@@ -129,3 +129,57 @@ def test_evaluator_shard_encode_matches_dense():
     for k, v in dense["classification"].items():
         np.testing.assert_allclose(shard["classification"][k], v,
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_sharded_topk_matches_dense():
+    """Distributed top-K == dense argsort top-K (exact scores; ids checked
+    per-row as sets where scores tie)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    import numpy as np
+
+    from primekg_rgcn_tpu.config import ModelConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.evaluate.sharded_ranking import build_sharded_topk
+    from primekg_rgcn_tpu.models.rgcn import encoder_apply, init_params
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.parallel.node_shard import (
+        build_node_sharded_forward, partition_nodes)
+
+    rng = np.random.default_rng(4)
+    n, r, e, k = 130, 5, 900, 7
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    nsg = partition_nodes(graph, n_dev)
+    emb_dm = build_node_sharded_forward(mesh, nsg, cfg, gather=False)(params)
+    rel_emb = params["decoder"]["rel_emb"]
+    topk = build_sharded_topk(mesh, emb_dm, rel_emb, n, k)
+
+    b = 24
+    heads = rng.integers(0, n, b)
+    rels = rng.integers(0, r, b)
+    s_top, i_top = topk(heads, rels)
+    s_top, i_top = np.asarray(s_top), np.asarray(i_top)
+
+    emb = np.asarray(encoder_apply(params, graph, cfg))
+    q = emb[heads] * np.asarray(rel_emb)[rels]
+    dense = q @ emb.T                              # [B, N]
+    order = np.argsort(-dense, axis=1)[:, :k]
+    dense_scores = np.take_along_axis(dense, order, axis=1)
+
+    np.testing.assert_allclose(s_top, dense_scores, rtol=2e-5, atol=2e-6)
+    for i in range(b):
+        # Where scores are unique the id sets must match exactly.
+        if len(np.unique(np.round(dense_scores[i], 5))) == k:
+            assert set(i_top[i]) == set(order[i]), i
