@@ -35,6 +35,14 @@ def parse_args(argv=None):
                    default="auto")
     p.add_argument("--output", default=None,
                    help="optional JSON file for the predictions")
+    p.add_argument("--export", default=None,
+                   help="ALSO write a self-contained AOT serving artifact "
+                        "(jax.export StableHLO; frozen embeddings baked "
+                        "in) to this path — load with "
+                        "evaluate.export.load_predictor, no model code "
+                        "needed")
+    p.add_argument("--export_batch", type=int, default=32,
+                   help="fixed query batch size of the exported program")
     return p.parse_args(argv)
 
 
@@ -129,6 +137,14 @@ def main(argv=None):
         with open(args.output, "w") as f:
             json.dump(results, f, indent=2)
         log.info("Wrote %s", args.output)
+    if args.export:
+        from primekg_rgcn_tpu.evaluate.export import export_topk_predictor
+
+        out = export_topk_predictor(params, graph, model_cfg, args.export,
+                                    batch_size=args.export_batch,
+                                    topk=args.topk, layer_fn=layer_fn)
+        log.info("Exported serving artifact: %s (%d bytes)", out,
+                 out.stat().st_size)
     return results
 
 

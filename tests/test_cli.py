@@ -166,3 +166,34 @@ def test_predict_cli_dense_equals_sharded(tiny_dataset, tmp_path):
             [r["tail_id"] for r in b["predictions"]]
     saved = json.loads((tmp_path / "dense.json").read_text())
     assert saved[0]["predictions"][0]["tail_name"]  # names resolved
+
+
+def test_export_serving_artifact(tiny_dataset, tmp_path):
+    """predict_cli --export writes a self-contained StableHLO artifact;
+    load_predictor replays it with exact parity to the live CLI scores."""
+    import json
+
+    from primekg_rgcn_tpu.evaluate.export import load_predictor
+    from primekg_rgcn_tpu.evaluate.predict_cli import main as predict_main
+
+    ckpt = tiny_dataset / "output" / "models" / "best_model"
+    if not ckpt.with_suffix(".msgpack").exists():
+        pytest.skip("training test must run first (module-ordered)")
+    art = tmp_path / "model.stablehlo"
+    live = predict_main(["--model_path", str(ckpt),
+                         "--data_dir", str(tiny_dataset / "processed"),
+                         "--heads", "0", "5", "--relation", "0",
+                         "--topk", "4", "--export", str(art),
+                         "--export_batch", "8"])
+    assert art.exists() and art.stat().st_size > 1000
+
+    predict = load_predictor(art)
+    heads = np.array([0, 5, 0, 0, 0, 0, 0, 0], np.int32)
+    rels = np.zeros(8, np.int32)
+    scores, tails = predict(heads, rels)
+    for qi, q in enumerate(live):
+        assert list(tails[qi][:4]) == [r["tail_id"]
+                                       for r in q["predictions"]]
+        np.testing.assert_allclose(
+            scores[qi][:4], [r["score"] for r in q["predictions"]],
+            rtol=1e-5, atol=1e-6)
