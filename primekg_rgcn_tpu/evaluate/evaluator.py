@@ -63,7 +63,12 @@ class Evaluator:
         self.labels: Optional[np.ndarray] = None
         self._rel_emb = params["decoder"]["rel_emb"]
 
-        if shard_encode == "node" and len(jax.devices()) > 1:
+        if shard_encode == "node" and len(jax.devices()) < 2:
+            raise ValueError(
+                "shard_encode='node' needs a multi-device runtime — a "
+                "silent dense fallback would materialize the [N, D] table "
+                "this mode exists to avoid")
+        if shard_encode == "node":
             # Fully-sharded pipeline: node-partitioned encode keeps the
             # entity table device-major ([n_dev, N/n, D]) and the
             # rank/score kernels fetch query endpoints with owner-masked

@@ -72,6 +72,10 @@ def main(argv=None):
     model_cfg = ModelConfig.from_dict(payload["model_config"])
     ds = artifacts.load_dataset(args.data_dir, require_train=False)
     full = ds["full"] or ds["train"] or ds["test"]
+    if full is None:
+        raise SystemExit(
+            f"no graph artifacts (full_graph/train_data/test_data) found "
+            f"under {args.data_dir}")
     graph = artifacts.split_to_rel_graph(full)
     n = graph.num_nodes
     for h in args.heads:
@@ -82,18 +86,20 @@ def main(argv=None):
                          f"[0, {graph.num_relations})")
 
     names = None
-    for mp in ("mappings.json", "mappings.pt"):
-        path = Path(args.data_dir) / mp
-        if path.exists():
-            m = artifacts.load_mappings(path)
-            names = {int(i): str(v[1]) for i, v in m["idx2node"].items()}
-            break
+    if ds.get("mappings"):
+        names = {int(i): str(v[1])
+                 for i, v in ds["mappings"]["idx2node"].items()}
 
     heads = jnp.asarray(args.heads, jnp.int32)
     rels = jnp.full((len(args.heads),), args.relation, jnp.int32)
     layer_fn = functools.partial(rgcn_layer_segment, impl=args.impl)
 
-    if args.shard == "node" and len(jax.devices()) > 1:
+    if args.shard == "node" and len(jax.devices()) < 2:
+        raise SystemExit(
+            "--shard node needs a multi-device runtime — a silent dense "
+            "fallback would materialize the [N, D] table and a [B, N] "
+            "score row, exactly what this mode exists to avoid")
+    if args.shard == "node":
         from primekg_rgcn_tpu.evaluate.sharded_ranking import (
             build_sharded_topk,
         )
@@ -138,6 +144,12 @@ def main(argv=None):
             json.dump(results, f, indent=2)
         log.info("Wrote %s", args.output)
     if args.export:
+        if args.shard == "node":
+            raise SystemExit(
+                "--export runs a dense full-graph encode at export time "
+                "(the artifact freezes the [N, D] embeddings); it cannot "
+                "be combined with --shard node, whose point is that the "
+                "table does not fit one device")
         from primekg_rgcn_tpu.evaluate.export import export_topk_predictor
 
         out = export_topk_predictor(params, graph, model_cfg, args.export,

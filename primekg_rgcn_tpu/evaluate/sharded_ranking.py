@@ -85,6 +85,20 @@ def build_sharded_ranker(mesh: Mesh, node_emb: jnp.ndarray,
     return rank
 
 
+def _owner_masked_fetch(local, ids, my, n_loc, axis_name):
+    """Owner-masked psum row fetch: [B] global ids -> [B, D].
+
+    Each device contributes the rows it owns (zero elsewhere); the psum
+    assembles the full batch on every device — O(B x D) ICI, independent
+    of N.
+    """
+    owner = ids // n_loc
+    idx = jnp.where(owner == my, ids - my * n_loc, 0)
+    rows = jnp.take(local, idx, axis=0)
+    rows = jnp.where((owner == my)[:, None], rows, jnp.zeros_like(rows))
+    return jax.lax.psum(rows, axis_name)
+
+
 def build_sharded_eval_from_sharded(mesh: Mesh, emb_dm, rel_emb,
                                     num_nodes: int, *,
                                     axis_name: str = "data"):
@@ -109,13 +123,7 @@ def build_sharded_eval_from_sharded(mesh: Mesh, emb_dm, rel_emb,
     rel_emb = jnp.asarray(rel_emb)
 
     def _fetch(local, ids, my):
-        """Owner-masked psum row fetch: [B] global ids -> [B, D]."""
-        owner = ids // n_loc
-        idx = jnp.where(owner == my, ids - my * n_loc, 0)
-        rows = jnp.take(local, idx, axis=0)
-        rows = jnp.where((owner == my)[:, None], rows,
-                         jnp.zeros_like(rows))
-        return jax.lax.psum(rows, axis_name)
+        return _owner_masked_fetch(local, ids, my, n_loc, axis_name)
 
     @partial(shard_map, mesh=mesh, in_specs=(P(axis_name), P(), P(), P()),
              out_specs=P(), check_vma=True)
@@ -193,23 +201,17 @@ def build_sharded_topk(mesh: Mesh, emb_dm, rel_emb, num_nodes: int, k: int,
     if k > n_loc:
         raise ValueError(f"k={k} exceeds per-device slice {n_loc}")
 
-    def _fetch(local, ids, my):
-        owner = ids // n_loc
-        idx = jnp.where(owner == my, ids - my * n_loc, 0)
-        rows = jnp.take(local, idx, axis=0)
-        rows = jnp.where((owner == my)[:, None], rows,
-                         jnp.zeros_like(rows))
-        return jax.lax.psum(rows, axis_name)
-
-    @partial(shard_map, mesh=mesh, in_specs=(P(axis_name), P(), P()),
+    # rel_emb rides as a jit ARGUMENT like every other table (captured
+    # device constants restage host-side per call on the hosted backend).
+    @partial(shard_map, mesh=mesh, in_specs=(P(axis_name), P(), P(), P()),
              out_specs=(P(), P()), check_vma=True)
-    def _topk(emb_local, heads, rels):
+    def _topk(emb_local, rel_table, heads, rels):
         local = emb_local[0]                       # [n_loc, D]
         my = jax.lax.axis_index(axis_name)
         heads = jax.lax.pcast(heads, axis_name, to="varying")
         rels_v = jax.lax.pcast(rels, axis_name, to="varying")
-        he = _fetch(local, heads, my)              # [B, D]
-        re = jnp.take(rel_emb, rels_v, axis=0)
+        he = _owner_masked_fetch(local, heads, my, n_loc, axis_name)
+        re = jnp.take(rel_table, rels_v, axis=0)
         q = he * re                                # [B, D]
         scores_local = q @ local.T                 # [B, n_loc]
         base = my * n_loc
@@ -235,7 +237,7 @@ def build_sharded_topk(mesh: Mesh, emb_dm, rel_emb, num_nodes: int, k: int,
     _jit = jax.jit(_topk)
 
     def topk(heads, rels):
-        return _jit(emb_dm, jnp.asarray(heads, jnp.int32),
+        return _jit(emb_dm, rel_emb, jnp.asarray(heads, jnp.int32),
                     jnp.asarray(rels, jnp.int32))
 
     return topk

@@ -193,6 +193,15 @@ def _load_graphs(args):
             train["num_nodes"], train["num_relations"])
 
 
+def _run_training(trainer, args):
+    """train() under the optional profiler scope (one wrapper for every
+    trainer path)."""
+    from primekg_rgcn_tpu.utils.telemetry import profile_trace
+
+    with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
+        trainer.train()
+
+
 def main(argv=None):
     from primekg_rgcn_tpu.utils.telemetry import apply_platform_env
 
@@ -219,11 +228,17 @@ def main(argv=None):
             "--checkpoint_dir is deprecated; use --output_dir")
         args.output_dir = args.checkpoint_dir
 
+    # training.log is rank-0-only in multi-process runs (concurrent
+    # appends from several ranks interleave torn lines).
+    import jax as _jax
+
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if _jax.process_index() == 0:
+        handlers.insert(0, logging.FileHandler("training.log"))
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
-        handlers=[logging.FileHandler("training.log"),
-                  logging.StreamHandler(sys.stdout)])
+        handlers=handlers)
 
     from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
     from primekg_rgcn_tpu.train.loop import Trainer
@@ -269,11 +284,7 @@ def main(argv=None):
                                  val_sampled=args.val_sampled)
         if args.resume:
             trainer.resume(args.resume)
-        from primekg_rgcn_tpu.utils.telemetry import profile_trace
-
-        with profile_trace(args.profile_dir,
-                           enabled=bool(args.profile_dir)):
-            trainer.train()
+        _run_training(trainer, args)
         logging.getLogger("train").info("Training completed successfully!")
         return
 
@@ -291,10 +302,7 @@ def main(argv=None):
                           layer_fn=layer_fn)
     if args.resume:
         trainer.resume(args.resume)
-    from primekg_rgcn_tpu.utils.telemetry import profile_trace
-
-    with profile_trace(args.profile_dir, enabled=bool(args.profile_dir)):
-        trainer.train()
+    _run_training(trainer, args)
     logging.getLogger("train").info("Training completed successfully!")
 
 

@@ -45,7 +45,8 @@ class MetricsLogger:
         self._f.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
 
 
 def device_memory_stats(device=None) -> Dict[str, int]:
