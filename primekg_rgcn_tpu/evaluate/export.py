@@ -50,7 +50,10 @@ def export_topk_predictor(params, graph, model_cfg, path, *,
     from jax import export as jexport
 
     spec = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
-    exp = jexport.export(jax.jit(predict))(spec, spec)
+    # Lower for both CPU and TPU so one artifact serves development hosts
+    # and production chips alike.
+    exp = jexport.export(jax.jit(predict),
+                         platforms=("cpu", "tpu"))(spec, spec)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(exp.serialize())
