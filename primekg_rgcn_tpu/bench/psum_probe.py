@@ -10,7 +10,7 @@ milliseconds. This probe measures (a) a plain jit elementwise op, (b) one
 psum in shard_map, (c) 11 chained psums, (d) psum of a small pytree with 12
 leaves (the grads shape), all on a 1-device mesh.
 
-Run on the real chip: python bench/tpu_queue/psum_probe.py
+Run on the real chip: python -m primekg_rgcn_tpu.bench.psum_probe
 """
 
 import time

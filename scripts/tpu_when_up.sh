@@ -10,5 +10,5 @@ echo "=== sampled suite $(date)"
 timeout 3600 python -m primekg_rgcn_tpu.bench.suite \
     --configs sampled-10m-15-10 sampled-full-15-10 sampled-15-10
 echo "=== psum probe $(date)"
-timeout 1200 python primekg_rgcn_tpu/bench/psum_probe.py
+timeout 1200 python -m primekg_rgcn_tpu.bench.psum_probe
 echo "=== done $(date)"
