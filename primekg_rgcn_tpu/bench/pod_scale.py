@@ -317,6 +317,7 @@ def main(argv=None):
         full.setdefault("results", {})[args.tag] = report
         with open(args.out, "w") as f:
             json.dump(full, f, indent=2)
+            f.write("\n")
 
     if args.sampled_zero3:
         report = run_pod_scale_zero3(args.nodes, args.edges,

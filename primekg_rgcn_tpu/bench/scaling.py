@@ -325,6 +325,7 @@ def main(argv=None):
     report.setdefault("results", {})["scaling-sim-mesh"] = result
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
+        f.write("\n")
     print(f"merged into {args.out}")
     return result
 

@@ -374,6 +374,7 @@ def main(argv=None):
         print(json.dumps(report["results"][name]), flush=True)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
+        f.write("\n")
     print(f"wrote {args.out}")
     return report
 

@@ -17,7 +17,6 @@ REPO = Path(__file__).resolve().parent.parent
 SCRIPT = REPO / "scripts" / "multihost_drill.py"
 
 
-@pytest.mark.timeout(600)
 def test_two_process_zero3_matches_single_process(tmp_path):
     env = dict(os.environ, PYTHONPATH=str(REPO),
                DRILL_COORD="localhost:23987")
@@ -34,9 +33,17 @@ def test_two_process_zero3_matches_single_process(tmp_path):
         [sys.executable, str(SCRIPT), str(i), "2", str(tmp_path)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(2)]
-    for p in procs:
-        out, err = p.communicate(timeout=280)
-        assert p.returncode == 0, err[-2000:]
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=280)
+            assert p.returncode == 0, err[-2000:]
+    finally:
+        # A hung rendezvous must not leave the sibling rank alive (the
+        # per-process communicate timeouts bound the wait; this bounds the
+        # cleanup — no pytest-timeout plugin exists in this environment).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     ref = np.load(tmp_path / "drill_p0_solo.npz")
     mh0 = np.load(tmp_path / "drill_p0_mh.npz")
@@ -48,7 +55,6 @@ def test_two_process_zero3_matches_single_process(tmp_path):
         np.testing.assert_allclose(ref[k], mh1[k], rtol=2e-6, atol=2e-7)
 
 
-@pytest.mark.timeout(600)
 def test_distributed_cli_matches_single_process(tmp_path):
     """train.cli --distributed across 2 processes == the same run on one
     process with the same 4-device mesh, bit-for-bit (val-loss history).
@@ -82,9 +88,14 @@ def test_distributed_cli_matches_single_process(tmp_path):
                     "--process_id", str(i), "--output_dir", str(d / "out")],
             env=env(2), cwd=d, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True))
-    for p in procs:
-        out, err = p.communicate(timeout=280)
-        assert p.returncode == 0, err[-2000:]
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=280)
+            assert p.returncode == 0, err[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
     import json
 
