@@ -318,16 +318,66 @@ class MethodComparator:
         df.index.name = "method"
         df.to_csv(self.output_dir / "test_results.csv")
 
-        # Bar chart.
-        fig, ax = plt.subplots(figsize=(10, 6))
-        ax.bar(df.index, df["auc_roc"], color="tab:blue", alpha=0.8)
-        ax.axhline(0.5, color="gray", linestyle="--", label="chance")
-        ax.set_ylabel("AUC-ROC (proxy-label protocol)")
-        ax.set_title("Method comparison")
-        ax.legend()
+        # Multi-panel metric comparison (reference: 2x3 grid with value
+        # labels, src/compare_methods.py:742-799).
+        metrics = [("auc_roc", "AUC-ROC"), ("avg_precision", "Avg Precision"),
+                   ("mrr", "MRR"), ("hits@10", "Hits@10"),
+                   ("hits@50", "Hits@50")]
+        fig, axes = plt.subplots(2, 3, figsize=(15, 10))
+        axes = axes.flatten()
+        palette = plt.cm.Set3(np.linspace(0, 1, len(df.index)))
+        for ax, (metric, label) in zip(axes, metrics):
+            if metric not in df.columns:
+                ax.axis("off")
+                continue
+            bars = ax.bar(df.index, df[metric], alpha=0.8,
+                          edgecolor="black", color=palette)
+            for bar in bars:
+                ax.text(bar.get_x() + bar.get_width() / 2, bar.get_height(),
+                        f"{bar.get_height():.3f}", ha="center", va="bottom",
+                        fontsize=9)
+            if metric == "auc_roc":
+                ax.axhline(0.5, color="gray", linestyle="--", label="chance")
+                ax.legend()
+            ax.set_ylabel(label)
+            ax.set_ylim(0, 1.0)
+            ax.grid(axis="y", alpha=0.3)
+            ax.tick_params(axis="x", rotation=30)
+        fig.delaxes(axes[-1])
+        fig.suptitle("Method comparison (proxy-label protocol)",
+                     fontweight="bold")
         fig.tight_layout()
         fig.savefig(self.output_dir / "method_comparison.png", dpi=150)
         plt.close(fig)
+
+        # Grouped per-disease-frequency AUC chart, every method
+        # (reference: src/compare_methods.py:616-699 evaluates all methods
+        # per frequency bin).
+        if freq:
+            bins = ["rare", "medium", "frequent"]
+            fig, ax = plt.subplots(figsize=(11, 6))
+            width = 0.8 / max(len(freq), 1)
+            x = np.arange(len(bins))
+            for i, (mname, per_bin) in enumerate(sorted(freq.items())):
+                vals = [per_bin.get(b, np.nan) for b in bins]
+                bars = ax.bar(x + (i - (len(freq) - 1) / 2) * width, vals,
+                              width, label=mname, alpha=0.85,
+                              edgecolor="black")
+                for bar in bars:
+                    if np.isfinite(bar.get_height()):
+                        ax.text(bar.get_x() + bar.get_width() / 2,
+                                bar.get_height(), f"{bar.get_height():.2f}",
+                                ha="center", va="bottom", fontsize=8)
+            ax.axhline(0.5, color="gray", linestyle="--")
+            ax.set_xticks(x, [b.capitalize() for b in bins])
+            ax.set_xlabel("Disease training-degree tercile")
+            ax.set_ylabel("AUC-ROC")
+            ax.set_ylim(0, 1.0)
+            ax.set_title("Per-disease-frequency AUC by method")
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(self.output_dir / "frequency_breakdown.png", dpi=150)
+            plt.close(fig)
 
         # Markdown + LaTeX paper tables (reference: 742-799, 879-949).
         md = ["| Method | AUC-ROC | AP | MRR | Hits@10 |",
@@ -353,8 +403,11 @@ class MethodComparator:
             lines.append(f"{name}: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in m.items()))
         if freq:
-            lines += ["", "Per-frequency AUC (RGCN):",
-                      str({k: round(v, 4) for k, v in freq.items()})]
+            lines += ["", "Per-frequency AUC (all methods):"]
+            for mname, per_bin in sorted(freq.items()):
+                lines.append(f"  {mname}: "
+                             + str({k: round(v, 4)
+                                    for k, v in per_bin.items()}))
         if pvals:
             lines += ["", "MOCK significance p-values:",
                       str({k: round(v, 4) for k, v in pvals.items()})]
@@ -369,9 +422,11 @@ class MethodComparator:
             logger.info("Evaluating %s...", m.name)
             results[m.name] = self.evaluate_method(m, num_samples=num_samples)
         freq = None
-        if frequency_analysis and "rgcn" in self.methods:
-            freq = self.frequency_breakdown(self.methods["rgcn"],
-                                            num_samples)
+        if frequency_analysis:
+            # Every method, not just RGCN (reference:
+            # src/compare_methods.py:616-699 bins ALL methods).
+            freq = {m.name: self.frequency_breakdown(m, num_samples)
+                    for m in self.methods.values()}
         pvals = self.mock_significance(results) if statistical_tests else None
         self.save_outputs(results, freq, pvals)
         if pvals:

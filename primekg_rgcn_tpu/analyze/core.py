@@ -197,6 +197,27 @@ class AnalysisContext:
         genes = set(int(g) for g in self.gene_indices)
         return self.neighbor_sets.get(int(idx), set()) & genes
 
+    @cached_property
+    def pair_relation(self) -> Dict[Tuple[int, int], int]:
+        """(head, tail) -> relation id for every stored edge (both
+        directions exist after bidirecting). Used to label path edges with
+        relation names (reference: src/case_studies.py:500-505 stores a
+        per-hop ``relation`` attribute on the path network)."""
+        e = self.full_edges
+        return {(int(h), int(t)): int(r) for h, t, r in e}
+
+    def relation_name(self, rel: int) -> str:
+        if self.mappings:
+            return str(self.mappings["idx2relation"].get(
+                int(rel), str(int(rel))))
+        return str(int(rel))
+
+    def edge_relation_name(self, a: int, b: int) -> str:
+        r = self.pair_relation.get((int(a), int(b)))
+        if r is None:
+            r = self.pair_relation.get((int(b), int(a)))
+        return self.relation_name(r) if r is not None else ""
+
     def find_paths(self, source: int, target: int, max_length: int = 4,
                    max_paths: int = 20) -> List[List[int]]:
         """Bounded simple-path enumeration (reference:

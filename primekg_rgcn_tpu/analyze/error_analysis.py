@@ -98,34 +98,71 @@ class ErrorAnalyzer:
         by_head_type = Counter(str(types[h]) for h in e[:, 0])
         by_tail_type = Counter(str(types[t]) for t in e[:, 1])
         by_entity = Counter()
+        by_head = Counter()
+        by_tail = Counter()
         for h, t in e[:, :2]:
             by_entity[int(h)] += 1
             by_entity[int(t)] += 1
+            by_head[int(h)] += 1
+            by_tail[int(t)] += 1
         return {
             "count": int(len(idxs)),
             "by_relation": dict(by_rel),
             "by_head_type": dict(by_head_type),
             "by_tail_type": dict(by_tail_type),
             "top_entities": by_entity.most_common(20),
+            # Separate head/tail problem lists (reference:
+            # src/error_analysis.py:283-284 top_problematic_heads/tails).
+            "top_heads": by_head.most_common(10),
+            "top_tails": by_tail.most_common(10),
         }
 
     # -- outputs -------------------------------------------------------------
+    # Three figures at the reference's multi-panel depth (reference:
+    # src/error_analysis.py:297-462 — overview bar+pie, 2x2 by-node-type,
+    # 2x2 problematic entities + per-bucket score histograms), under this
+    # repo's established filenames.
     def plot_all(self, fn_patterns: Dict, lc_patterns: Dict):
-        # error_patterns.png: error counts by relation for both buckets.
-        fig, axes = plt.subplots(1, 2, figsize=(14, 6))
-        for ax, pat, title in [(axes[0], fn_patterns, "False negatives"),
-                               (axes[1], lc_patterns, "Low confidence")]:
+        fn_scores = self.scores[self.false_negatives()]
+        lc_scores = self.scores[self.low_confidence()]
+
+        # error_patterns.png (2x2): counts-by-type bar + accuracy pie +
+        # per-bucket by-relation bars.
+        fig, axes = plt.subplots(2, 2, figsize=(15, 11))
+        ax = axes[0, 0]
+        counts = [lc_patterns["count"], fn_patterns["count"]]
+        bars = ax.bar(["Low Confidence\nPredictions", "False Negatives"],
+                      counts, color=["tab:orange", "tab:red"], alpha=0.8,
+                      edgecolor="black")
+        for bar in bars:
+            ax.text(bar.get_x() + bar.get_width() / 2, bar.get_height(),
+                    f"{int(bar.get_height()):,}", ha="center", va="bottom")
+        ax.set_ylabel("Count")
+        ax.set_title("Prediction Errors by Type")
+
+        ax = axes[0, 1]
+        total = len(self.scores)
+        correct = int((self.scores >= self.threshold).sum())
+        if total:
+            ax.pie([correct, total - correct],
+                   labels=["Correct", "Incorrect"], autopct="%1.1f%%",
+                   colors=["tab:green", "tab:red"], startangle=90)
+        ax.set_title("Overall Prediction Accuracy")
+
+        for ax, pat, title, color in [
+                (axes[1, 0], fn_patterns, "False negatives", "tab:red"),
+                (axes[1, 1], lc_patterns, "Low confidence", "tab:orange")]:
             items = sorted(pat["by_relation"].items())
-            ax.bar([k for k, _ in items], [v for _, v in items],
-                   color="tab:red" if title.startswith("False") else "tab:orange")
+            ax.bar([k for k, _ in items], [v for _, v in items], color=color)
             ax.set_title(f"{title} by relation (n={pat['count']})")
             ax.tick_params(axis="x", rotation=20)
         fig.tight_layout()
         fig.savefig(self.output_dir / "error_patterns.png", dpi=150)
         plt.close(fig)
 
-        # score_distribution.png
-        fig, ax = plt.subplots(figsize=(10, 6))
+        # score_distribution.png (1x3): all positives + each error bucket.
+        fig, axes = plt.subplots(1, 3, figsize=(18, 5.5))
+        ax = axes[0]
         ax.hist(self.scores, bins=60, color="tab:blue", alpha=0.8)
         ax.axvline(self.threshold, color="tab:red", linestyle="--",
                    label=f"threshold={self.threshold}")
@@ -135,18 +172,54 @@ class ErrorAnalyzer:
         ax.set_ylabel("Count")
         ax.set_title("Test-edge score distribution")
         ax.legend()
+        for ax, s, title, color in [
+                (axes[1], fn_scores, "False-negative scores", "tab:red"),
+                (axes[2], lc_scores, "Low-confidence scores", "tab:orange")]:
+            if len(s):
+                ax.hist(s, bins=30, color=color, alpha=0.8,
+                        edgecolor="black")
+            ax.axvline(self.threshold, color="black", linestyle="--",
+                       label=f"threshold={self.threshold}")
+            ax.set_xlabel("Sigmoid score")
+            ax.set_ylabel("Count")
+            ax.set_title(title)
+            ax.legend()
         fig.tight_layout()
         fig.savefig(self.output_dir / "score_distribution.png", dpi=150)
         plt.close(fig)
 
-        # entity_analysis.png: most error-involved entities.
-        fig, ax = plt.subplots(figsize=(12, 6))
-        tops = fn_patterns["top_entities"][:15]
-        if tops:
-            names = [self.ctx.node_names[i][:30] for i, _ in tops]
-            ax.barh(names[::-1], [c for _, c in tops][::-1], color="tab:red")
-        ax.set_xlabel("False-negative involvement count")
-        ax.set_title("Entities most involved in errors")
+        # entity_analysis.png (2x2): top problematic FN heads/tails +
+        # by-node-type breakdowns for both buckets.
+        fig, axes = plt.subplots(2, 2, figsize=(16, 12))
+        names = self.ctx.node_names
+        for ax, tops, title in [
+                (axes[0, 0], fn_patterns["top_heads"],
+                 "Top problematic head entities (FN)"),
+                (axes[0, 1], fn_patterns["top_tails"],
+                 "Top problematic tail entities (FN)")]:
+            if tops:
+                labels = [str(names[i])[:30] for i, _ in tops]
+                ax.barh(labels[::-1], [c for _, c in tops][::-1],
+                        color="tab:red", alpha=0.8, edgecolor="black")
+            ax.set_xlabel("False-negative count")
+            ax.set_title(title)
+
+        for ax, pat, title, color in [
+                (axes[1, 0], fn_patterns, "False negatives by node type",
+                 "tab:red"),
+                (axes[1, 1], lc_patterns, "Low confidence by node type",
+                 "tab:orange")]:
+            keys = sorted(set(pat["by_head_type"]) | set(pat["by_tail_type"]))
+            x = np.arange(len(keys))
+            ax.bar(x - 0.2, [pat["by_head_type"].get(k, 0) for k in keys],
+                   width=0.4, label="head", color=color, alpha=0.9)
+            ax.bar(x + 0.2, [pat["by_tail_type"].get(k, 0) for k in keys],
+                   width=0.4, label="tail", color=color, alpha=0.5)
+            ax.set_xticks(x)
+            ax.set_xticklabels(keys, rotation=20)
+            ax.set_ylabel("Count")
+            ax.set_title(title)
+            ax.legend()
         fig.tight_layout()
         fig.savefig(self.output_dir / "entity_analysis.png", dpi=150)
         plt.close(fig)

@@ -123,7 +123,8 @@ class AnalysisPipeline:
         from primekg_rgcn_tpu.analyze.compare_methods import MethodComparator
 
         MethodComparator(self.ctx, self.output_dir / "comparison",
-                         ["random", "degree", "rgcn"]).run()
+                         ["random", "degree", "rgcn"]).run(
+            frequency_analysis=True)
 
     def _run_failures(self):
         from primekg_rgcn_tpu.analyze.analyze_failures import FailureAnalyzer
@@ -189,6 +190,21 @@ class AnalysisPipeline:
     def run_analysis(self, name: str) -> bool:
         if name not in ANALYSES:
             raise ValueError(f"unknown analysis: {name}")
+        # Dedicated per-analysis log file, like the reference's per-script
+        # logs (reference: src/evaluate.py:855-860 -> results/evaluation.log,
+        # src/error_analysis.py etc.): everything the analysis logs while it
+        # runs also lands in <output_dir>/<name>.log. The root level is
+        # lowered to INFO for the duration so the file captures the
+        # analyses' INFO records even under a WARNING-level host config.
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        handler = logging.FileHandler(self.output_dir / f"{name}.log")
+        handler.setFormatter(logging.Formatter(
+            "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
+        root = logging.getLogger()
+        old_level = root.level
+        root.addHandler(handler)
+        if old_level > logging.INFO or old_level == logging.NOTSET:
+            root.setLevel(logging.INFO)
         logger.info("=" * 60)
         logger.info("Running %s: %s", name, ANALYSES[name])
         t0 = time.time()
@@ -201,6 +217,10 @@ class AnalysisPipeline:
         except Exception as e:  # isolation: one failure never kills the run
             logger.exception("%s failed: %s", name, e)
             ok = False
+        finally:
+            root.removeHandler(handler)
+            handler.close()
+            root.setLevel(old_level)
         dt = time.time() - t0
         self.results[name] = {"success": ok, "duration_s": round(dt, 2)}
         logger.info("%s %s in %.1fs", name, "OK" if ok else "FAILED", dt)

@@ -86,6 +86,11 @@ def test_error_analysis(ctx, trained_setup, tmp_path):
               "entity_analysis.png", "error_analysis_report.txt",
               "false_negatives.csv", "low_confidence.csv"]:
         assert (tmp_path / f).exists()
+    # Reference figure depth: separate head/tail problem lists feed the
+    # problematic-entities panels (reference: src/error_analysis.py:283-284,
+    # 408-462).
+    for pat in out.values():
+        assert "top_heads" in pat and "top_tails" in pat
 
 
 def test_case_study(ctx, tmp_path):
@@ -102,6 +107,16 @@ def test_case_study(ctx, tmp_path):
     assert (d / "predictions.json").exists()
     assert (d / "predictions.png").exists()
     assert (d / "report.txt").exists()
+    # Per-hop relation names ride along with every stored path.
+    for p in out["predictions"]:
+        assert len(p["path_relations"]) == len(p["paths"])
+        for path, rels in zip(p["paths"], p["path_relations"]):
+            assert len(rels) == len(path) - 1
+    # Combined all-predictions network renders when any path exists
+    # (exceeds the reference's top-prediction-only figure).
+    if any(p["num_paths"] > 0 for p in out["predictions"]):
+        assert (d / "path_network_all.png").exists()
+        assert (d / "path_network.png").exists()
 
 
 def test_explainer(ctx, tmp_path):
@@ -179,6 +194,13 @@ def test_method_comparison(ctx, tmp_path):
     # statistical_tests=True must emit the (MOCK-labeled) pairwise p-value
     # heatmap (reference: src/compare_methods.py:846-877).
     assert (tmp_path / "significance_heatmap_auc_roc.png").exists()
+    # frequency_analysis=True bins EVERY method, not just RGCN
+    # (reference: src/compare_methods.py:616-699), and renders the grouped
+    # chart + lists each method in the report.
+    assert (tmp_path / "frequency_breakdown.png").exists()
+    report = (tmp_path / "comparison_report.txt").read_text()
+    for m in ("Random", "NodeDegree", "RGCN"):
+        assert f"  {m}: " in report
 
 
 def test_transe_baseline_learns(ctx):
@@ -220,6 +242,12 @@ def test_orchestrator_in_process(trained_setup, tmp_path):
     assert all(r["success"] for r in results.values()), results
     assert (tmp_path / "analysis_summary.txt").exists()
     assert (tmp_path / "results.json").exists()
+    # Dedicated per-analysis log files (reference: each script writes its
+    # own log, e.g. src/evaluate.py:855-860 -> results/evaluation.log).
+    for name in ["evaluate", "error_analysis", "case_studies",
+                 "explanations", "comparison", "failures"]:
+        log = tmp_path / f"{name}.log"
+        assert log.exists() and log.stat().st_size > 0, name
 
 
 def test_orchestrator_isolates_failures(trained_setup, tmp_path):

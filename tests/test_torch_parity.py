@@ -15,16 +15,21 @@ from primekg_rgcn_tpu.data.graph import build_rel_graph  # noqa: E402
 from primekg_rgcn_tpu.ops.rgcn_segment import rgcn_layer_segment  # noqa: E402
 
 
+def _t(a):
+    """torch tensor from a possibly non-writable (jax-backed) numpy view."""
+    return torch.from_numpy(np.array(a, copy=True))
+
+
 def torch_rgcn_layer(x, src, dst, rel, w_rel, w_root, bias, num_nodes,
                      num_relations):
     """h'_i = W_root h_i + b + sum_r mean_{j in N_r(i)} W_r h_j (torch)."""
-    x_t = torch.from_numpy(x)
-    out = x_t @ torch.from_numpy(w_root) + torch.from_numpy(bias)
+    x_t = _t(x)
+    out = x_t @ _t(w_root) + _t(bias)
     for r in range(num_relations):
         m = rel == r
-        s = torch.from_numpy(src[m]).long()
-        d = torch.from_numpy(dst[m]).long()
-        msg = x_t[s] @ torch.from_numpy(w_rel[r])
+        s = _t(src[m]).long()
+        d = _t(dst[m]).long()
+        msg = x_t[s] @ _t(w_rel[r])
         agg = torch.zeros(num_nodes, msg.shape[1])
         agg.index_add_(0, d, msg)
         deg = torch.zeros(num_nodes)
