@@ -93,7 +93,35 @@ def pallas_halo_exchange(send: jnp.ndarray, axis_name: str,
     Returns ``recv [n_devices, P, D]`` where ``recv[o]`` holds what device
     ``o`` sent to this device — identical semantics to
     ``lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)``.
+
+    Differentiable: the exchange permutes blocks across devices
+    (``recv_d[o] = send_o[d]``), so its linear transpose is the SAME
+    exchange applied to the cotangents (``ct_send_o[d] = ct_recv_d[o]``) —
+    the backward pass reuses the identical overlapped-RDMA kernel, which is
+    what lets the node-sharded TRAIN step run with ``halo_impl="pallas"``.
     """
+    return _exchange(send, axis_name, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _exchange(send: jnp.ndarray, axis_name: str,
+              interpret: bool) -> jnp.ndarray:
+    return _exchange_impl(send, axis_name, interpret)
+
+
+def _exchange_fwd(send, axis_name, interpret):
+    return _exchange(send, axis_name, interpret), None
+
+
+def _exchange_bwd(axis_name, interpret, _res, ct):
+    return (_exchange(ct, axis_name, interpret),)
+
+
+_exchange.defvjp(_exchange_fwd, _exchange_bwd)
+
+
+def _exchange_impl(send: jnp.ndarray, axis_name: str,
+                   interpret: bool) -> jnp.ndarray:
     if jax.default_backend() == "cpu":
         interpret = True
     n = int(send.shape[0])

@@ -683,6 +683,7 @@ def build_node_sharded_train_step(
     optimizer: optax.GradientTransformation,
     *,
     axis_name: str = "data",
+    halo_impl: str = "xla",
 ):
     """Jitted training update over the node-sharded graph.
 
@@ -694,13 +695,23 @@ def build_node_sharded_train_step(
     all_gather of the id lists plus one psum of owner-masked local rows
     (O(B*(1+k)*H) traffic total), so no device ever materializes the full
     embedding matrix.
+
+    ``halo_impl="pallas"`` routes BOTH passes' halo exchanges through the
+    overlapped remote-DMA kernel (its transpose is the same exchange on the
+    cotangents, ops/pallas/halo.py); check_vma is relaxed only then, as in
+    build_node_sharded_forward — and with the checker off, the pcast
+    varying-promotions below are skipped too (their AD transpose emits a
+    vma-asserting psum that cannot typecheck on empty-vma cotangents;
+    without vma tracking the grads come back per-device anyway, which is
+    exactly what the manual flat psum expects).
     """
     n_dev = mesh.devices.size
+    use_vma = halo_impl != "pallas"
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(axis_name), P(axis_name), P(), P()),
              out_specs=(P(), P(), (P(), P())),
-             check_vma=True)
+             check_vma=use_vma)
     def _step(params, opt_state, local_arrays, batch_shard, key, drop_key):
         local = jax.tree_util.tree_map(lambda a: a[0], local_arrays)
         batch = batch_shard[0]  # [B/n, 4]
@@ -708,7 +719,7 @@ def build_node_sharded_train_step(
         # Differentiate w.r.t. the varying params; ONE flat psum combines
         # the per-device gradients below (one collective instead of one per
         # parameter leaf via the pcast transpose — see edge_shard.py).
-        pv = jax.tree_util.tree_map(
+        pv = params if not use_vma else jax.tree_util.tree_map(
             lambda a: jax.lax.pcast(a, axis_name, to="varying"), params)
 
         def loss_sums(p):
@@ -720,7 +731,7 @@ def build_node_sharded_train_step(
 
             x = _sharded_encoder(p, sg, local, model_cfg, axis_name,
                                  train=True, dropout_rng=drop_key,
-                                 my_index=my)
+                                 my_index=my, halo_impl=halo_impl)
             x_pad = jnp.concatenate(
                 [x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
@@ -733,8 +744,9 @@ def build_node_sharded_train_step(
                                 sg.n_loc)
                 rows = jnp.take(x_pad, loc, axis=0)            # [n, C, H]
                 full = jax.lax.psum(rows, axis_name)
-                return jax.lax.pcast(
-                    full, axis_name, to="varying")[my]         # my [C, H]
+                if use_vma:
+                    full = jax.lax.pcast(full, axis_name, to="varying")
+                return full[my]                                # my [C, H]
 
             he, te = fetch(heads), fetch(tails)
             re = jnp.take(p["decoder"]["rel_emb"], rels, axis=0)

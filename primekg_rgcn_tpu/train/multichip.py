@@ -84,7 +84,7 @@ def _build_step(shard: str, mesh, train_graph: RelGraph,
         sg = partition_nodes(train_graph, mesh.devices.size,
                              pallas=use_pallas)
         return build_node_sharded_train_step(mesh, sg, model_cfg, train_cfg,
-                                             optimizer)
+                                             optimizer, halo_impl=halo_impl)
     raise ValueError(f"unknown shard layout: {shard!r}")
 
 

@@ -336,3 +336,74 @@ def test_node_shard_pallas_schedule_scan_path_matches():
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_halo_exchange_vjp_matches_all_to_all():
+    """The exchange's custom VJP (the same exchange on the cotangents,
+    ops/pallas/halo.py) must match AD through lax.all_to_all."""
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as _P
+    from primekg_rgcn_tpu.ops.pallas.halo import pallas_halo_exchange
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    p, d = 4, 32
+    rng = np.random.default_rng(3)
+    send = jnp.asarray(
+        rng.normal(size=(n_dev, n_dev, p, d)).astype(np.float32))
+    weight = jnp.asarray(
+        rng.normal(size=(n_dev, n_dev, p, d)).astype(np.float32))
+
+    def make(exchange):
+        @jax.jit
+        @_partial(jax.shard_map, mesh=mesh, in_specs=(_P("data"),) * 2,
+                  out_specs=_P(), check_vma=False)
+        def grad_fn(s, w):
+            def loss(x):
+                r = exchange(x[0])
+                return jnp.sum(r * w[0] * r)  # nonlinear: VJP carries data
+            return jax.grad(loss)(s)
+        return grad_fn
+
+    g_pallas = make(lambda x: pallas_halo_exchange(x, "data"))(send, weight)
+    g_xla = make(lambda x: jax.lax.all_to_all(
+        x, "data", split_axis=0, concat_axis=0, tiled=True))(send, weight)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_node_sharded_train_step_pallas_halo_matches_xla():
+    """One full training update with halo_impl="pallas" must match the
+    halo_impl="xla" update (same key/batch) — the remote-DMA transport is a
+    pure substitution in both passes."""
+    graph, cfg, params = _setup(seed=5)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg = partition_nodes(graph, n_dev)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    opt = optax.sgd(tcfg.lr)
+
+    rng = np.random.default_rng(1)
+    b = 64
+    batch = np.stack([
+        rng.integers(0, cfg.num_nodes, b), rng.integers(0, cfg.num_nodes, b),
+        rng.integers(0, cfg.num_relations, b), np.ones(b, np.int64)
+    ], axis=1).astype(np.int32)
+    key = jax.random.PRNGKey(11)
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        step = build_node_sharded_train_step(mesh, sg, cfg, tcfg, opt,
+                                             halo_impl=impl)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        state = TrainState(p, opt.init(p), jnp.zeros((), jnp.int32))
+        state, (loss, acc) = step(state, jnp.asarray(batch), key)
+        outs[impl] = (float(loss), float(acc),
+                      jax.tree_util.tree_leaves(state.params))
+
+    assert outs["pallas"][0] == pytest.approx(outs["xla"][0], rel=1e-6)
+    assert outs["pallas"][1] == outs["xla"][1]
+    for a, b_ in zip(outs["pallas"][2], outs["xla"][2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-7)
