@@ -489,16 +489,22 @@ def block_aggregate(layer_params, x_in: jnp.ndarray, block: SampledBlock,
 
 
 class CombinedCsr(NamedTuple):
-    """(dst, rel)-sorted merged CSR with per-EDGE degree annotations.
+    """(dst, rel)-sorted merged CSR with degree annotations.
+
+    Two interchangeable degree layouts, picked by scale (``slim``):
+
+    - **fat** (default at small/medium N*R): rel int32[E]; deg_rel_flat
+      float16[(N + 1) * R] in-degree of (node, rel) flattened node-major;
+      edge_deg empty. Word-width gathers — the fastest layout when the
+      table fits (measured: the slim layout's sub-word gathers cost the
+      sampled-full config ~15% step time, bench_report.json).
+    - **slim** (auto at config-5 scale): rel int8[E] (int32 when R > 127);
+      edge_deg float16[E] in-degree of this edge's (dst, rel) pair stored
+      per edge; deg_rel_flat empty. 200 MB vs the 1 GB [(N+1) * R] table
+      at 10M nodes / 50 relations.
 
     row_start: int32[N + 2] offsets into col/rel (row N is the empty
-        sentinel row). col: int32[E] source ids. rel: int8[E] (int32 when
-        R > 127) relation tags. edge_deg: float16[E] in-degree of this
-        edge's (dst, rel) pair — stored per edge instead of as an
-        [(N+1) * R] table (1 GB vs 200 MB at the 10M-node/50-relation
-        config, and the importance-weight lookup becomes one more gather
-        at the already-fetched edge position instead of a second gather
-        into a table with worse locality). deg_total: int32[N + 1].
+    sentinel row). col: int32[E] source ids. deg_total: int32[N + 1].
     """
 
     row_start: jnp.ndarray
@@ -509,14 +515,29 @@ class CombinedCsr(NamedTuple):
     num_nodes: int
     num_relations: int
     avg_present_relations: float
+    deg_rel_flat: jnp.ndarray = None
 
 
-def build_combined_csr(graph: RelGraph) -> CombinedCsr:
-    """Host-side, once per graph: merged (dst, rel)-sorted CSR."""
+# The fat [(N+1) * R] degree table is kept below this size; beyond it the
+# per-edge slim layout wins on memory (config-5: 1 GB vs 200 MB).
+SLIM_TABLE_BYTES = 128 * 2**20
+
+
+def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
+    """Host-side, once per graph: merged (dst, rel)-sorted CSR.
+
+    ``slim`` switches the degree layout (see :class:`CombinedCsr`);
+    ``None`` auto-selects: slim only when the fat table would exceed
+    ``SLIM_TABLE_BYTES`` — the config-5 memory savings are irrelevant at
+    129K nodes and its sub-word gathers cost measurable step time there
+    (VERDICT r2 item 5).
+    """
     from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
 
     src, dst, rel = edge_arrays_from_graph(graph)
     n, r_count = graph.num_nodes, graph.num_relations
+    if slim is None:
+        slim = (n + 1) * r_count * 2 > SLIM_TABLE_BYTES
     order = np.lexsort((rel, dst))
     col = src[order].astype(np.int32)
     rel_s = rel[order].astype(np.int32)
@@ -530,26 +551,33 @@ def build_combined_csr(graph: RelGraph) -> CombinedCsr:
     # importance weight would silently become 0), so graphs with such hubs
     # keep float32.
     e = d.shape[0]
+    edge_deg = np.zeros(0, np.float16)
+    deg_rel_flat = np.zeros(0, np.float16)
     if e:
         key64 = d.astype(np.int64) * r_count + rel_s
         starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(key64)) + 1, [e]])
         lens = np.diff(starts)
         deg_dtype = np.float16 if lens.max() < 60000 else np.float32
-        edge_deg = np.repeat(lens, lens).astype(deg_dtype)
+        if slim:
+            edge_deg = np.repeat(lens, lens).astype(deg_dtype)
+        else:
+            deg_rel_flat = np.zeros((n + 1) * r_count, deg_dtype)
+            deg_rel_flat[key64[starts[:-1]]] = lens.astype(deg_dtype)
         # distinct (dst, rel) pairs per node = runs per node.
         present = float(
             np.bincount(d[starts[:-1]], minlength=n + 1).mean())
     else:
-        edge_deg = np.zeros(0, np.float16)
         present = 0.0
-    rel_dtype = np.int8 if r_count <= 127 else np.int32
+    rel_dtype = (np.int8 if r_count <= 127 else np.int32) if slim \
+        else np.int32
     return CombinedCsr(
         row_start=jnp.asarray(row_start), col=jnp.asarray(col),
         rel=jnp.asarray(rel_s.astype(rel_dtype)),
         edge_deg=jnp.asarray(edge_deg),
         deg_total=jnp.asarray(deg_total), num_nodes=n,
-        num_relations=r_count, avg_present_relations=present)
+        num_relations=r_count, avg_present_relations=present,
+        deg_rel_flat=jnp.asarray(deg_rel_flat))
 
 
 class CombinedBlock(NamedTuple):
@@ -593,10 +621,17 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
     # stay ascending — the aggregation's sorted-segment promise needs it.
     rtag = jnp.where(valid, jnp.take(ccsr.rel, pos).astype(jnp.int32),
                      r_count - 1)
-    # The picked edge's (dst, rel) in-degree rides along per edge — no
-    # second gather into an [(N+1) * R] table.
-    deg_r = jnp.where(valid, jnp.take(ccsr.edge_deg, pos),
-                      jnp.float16(0)).astype(jnp.float32)
+    if ccsr.edge_deg.shape[0]:
+        # Slim layout: the picked edge's (dst, rel) in-degree rides along
+        # per edge — no [(N+1) * R] table exists at this scale.
+        deg_r = jnp.where(valid, jnp.take(ccsr.edge_deg, pos),
+                          ccsr.edge_deg.dtype.type(0)).astype(jnp.float32)
+    else:
+        # Fat layout: word-width gather into the degree table.
+        deg_r = jnp.take(
+            ccsr.deg_rel_flat,
+            frontier[:, None] * r_count + rtag).astype(jnp.float32)
+        deg_r = jnp.where(valid, deg_r, 0.0)
     if mode == "uniform":
         w = dtot[:, None].astype(jnp.float32) / (
             budget * jnp.maximum(deg_r, 1.0))

