@@ -438,15 +438,19 @@ def sample_batch(key: jax.Array, csr: CsrCache, seeds: jnp.ndarray,
 
 
 def block_aggregate(layer_params, x_in: jnp.ndarray, block: SampledBlock,
-                    materialize_fn) -> jnp.ndarray:
+                    materialize_fn, compute_dtype=None) -> jnp.ndarray:
     """Apply one RGCN layer over a sampled block.
 
-    x_in: [M_in, Din] deduped input-table features (sentinel rows zero).
+    x_in: [M_in, Din] deduped input-table features (sentinel rows zero) —
+    or, for an identity block, the RAW [N, Din] embedding table (then
+    ``compute_dtype`` says what to convert gathered rows to; converting
+    the whole table first would materialize an [N, D] copy every step).
     Returns [M_out, Dout].
     """
     if isinstance(block, CombinedBlock):
         return _block_aggregate_combined(layer_params, x_in, block,
-                                         materialize_fn)
+                                         materialize_fn,
+                                         compute_dtype=compute_dtype)
     w_rel = materialize_fn(layer_params).astype(x_in.dtype)  # [R, Din, Dout]
     w_root = layer_params["w_root"].astype(x_in.dtype)
     bias = layer_params["bias"].astype(x_in.dtype)
@@ -498,13 +502,18 @@ class CombinedCsr(NamedTuple):
       edge_deg empty. Word-width gathers — the fastest layout when the
       table fits (measured: the slim layout's sub-word gathers cost the
       sampled-full config ~15% step time, bench_report.json).
-    - **slim** (auto at config-5 scale): rel int8[E] (int32 when R > 127);
-      edge_deg float16[E] in-degree of this edge's (dst, rel) pair stored
-      per edge; deg_rel_flat empty. 200 MB vs the 1 GB [(N+1) * R] table
-      at 10M nodes / 50 relations.
+    - **slim** (auto at config-5 scale): ONE int32[E, 2] record per edge,
+      ``packed[:, 0] = src id``, ``packed[:, 1] = rel << 16 | f16-bits of
+      the edge's (dst, rel) in-degree``. The pick phase then runs ONE
+      8-byte row gather per slot instead of three element gathers
+      (col + rel + edge_deg) — gathers are descriptor-count-bound on TPU,
+      so this is a 3x -> 1x pass reduction at config-5 scale (9.6M slots).
+      Falls back to separate rel int32[E] + edge_deg float32[E] arrays
+      when R > 32767 or a (dst, rel) in-degree overflows float16.
 
     row_start: int32[N + 2] offsets into col/rel (row N is the empty
-    sentinel row). col: int32[E] source ids. deg_total: int32[N + 1].
+    sentinel row). col: int32[E] source ids (empty when ``packed`` carries
+    them). deg_total: int32[N + 1].
     """
 
     row_start: jnp.ndarray
@@ -516,6 +525,7 @@ class CombinedCsr(NamedTuple):
     num_relations: int
     avg_present_relations: float
     deg_rel_flat: jnp.ndarray = None
+    packed: jnp.ndarray = None
 
 
 # The fat [(N+1) * R] degree table is kept below this size; beyond it the
@@ -553,6 +563,7 @@ def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
     e = d.shape[0]
     edge_deg = np.zeros(0, np.float16)
     deg_rel_flat = np.zeros(0, np.float16)
+    packed = np.zeros((0, 2), np.int32)
     if e:
         key64 = d.astype(np.int64) * r_count + rel_s
         starts = np.concatenate(
@@ -560,7 +571,15 @@ def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
         lens = np.diff(starts)
         deg_dtype = np.float16 if lens.max() < 60000 else np.float32
         if slim:
-            edge_deg = np.repeat(lens, lens).astype(deg_dtype)
+            deg_edge = np.repeat(lens, lens).astype(deg_dtype)
+            if r_count <= 32767 and deg_dtype == np.float16:
+                meta = ((rel_s.astype(np.int32) << 16)
+                        | deg_edge.view(np.uint16).astype(np.int32))
+                packed = np.stack([col, meta], axis=1)
+                col = np.zeros(0, np.int32)
+                rel_s = np.zeros(0, np.int32)
+            else:
+                edge_deg = deg_edge
         else:
             deg_rel_flat = np.zeros((n + 1) * r_count, deg_dtype)
             deg_rel_flat[key64[starts[:-1]]] = lens.astype(deg_dtype)
@@ -571,13 +590,16 @@ def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
         present = 0.0
     rel_dtype = (np.int8 if r_count <= 127 else np.int32) if slim \
         else np.int32
+    if packed.shape[0]:
+        rel_dtype = np.int32  # rel array is empty; dtype is moot
     return CombinedCsr(
         row_start=jnp.asarray(row_start), col=jnp.asarray(col),
         rel=jnp.asarray(rel_s.astype(rel_dtype)),
         edge_deg=jnp.asarray(edge_deg),
         deg_total=jnp.asarray(deg_total), num_nodes=n,
         num_relations=r_count, avg_present_relations=present,
-        deg_rel_flat=jnp.asarray(deg_rel_flat))
+        deg_rel_flat=jnp.asarray(deg_rel_flat),
+        packed=jnp.asarray(packed))
 
 
 class CombinedBlock(NamedTuple):
@@ -586,6 +608,17 @@ class CombinedBlock(NamedTuple):
     src_local: int32[M, F] deduped-input-table rows; rel_tag: int32[M, F];
     slot_w: float32[M, F] importance weights (0 on invalid slots);
     self_idx/out_ids/m_out/m_in: as in SampledBlock.
+
+    ``ident=True`` marks a NEAR-SATURATED innermost block (raw pick slots
+    >= IDENT_FRACTION of the node space): src_local/self_idx hold GLOBAL
+    node ids, m_in == num_nodes, and the aggregation gathers straight from
+    the embedding TABLE (out-of-range sentinel ids fill zero) instead of a
+    deduplicated frontier table. At config-5 scale (10M nodes, budget 48,
+    4,096 seeds) the raw stream is ~9.8M slots — 98% of the node space —
+    so the dedup table bought nothing while costing a [9.8M, D] gather +
+    materialization (2.5 GB) plus the unique construction on every step.
+    sort_perm/sort_uid still carry the argsort of the raw id stream: the
+    backward remains ONE sorted segment-sum, now directly into table rows.
     """
 
     src_local: jnp.ndarray
@@ -597,10 +630,75 @@ class CombinedBlock(NamedTuple):
     sort_uid: jnp.ndarray
     m_out: int
     m_in: int
+    ident: bool = False
+
+
+# Innermost-layer frontiers whose raw slot count reaches this fraction of
+# the node space skip dedup entirely (see CombinedBlock.ident). 0.5 is
+# conservative: identity costs <= 2x the minimal table rows in backward
+# segment-sum length, while saving the dedup construction + double gather.
+IDENT_FRACTION = 0.5
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ident_pick_gather(out_dtype, table, ids, perm, srt):
+    """``table[ids]`` for GLOBAL node ids (sentinel ``num_nodes`` -> 0 row).
+
+    The identity-mode analogue of :func:`dedup_gather` + the layer-0 table
+    gather fused into one: ids index the raw embedding table directly;
+    out-of-range sentinel slots fill zero. (perm, srt) = argsort of ids and
+    the sorted ids — the backward is one sorted segment-sum into the table
+    (sentinel segments drop out of range).
+
+    ``out_dtype`` folds the compute-dtype conversion INTO the op: the
+    forward emits (and the backward receives) compute-dtype rows, so a
+    bf16 step's [L, D] cotangent stream is half the bytes of the f32 one
+    the outside-convert structure would transpose back. The backward
+    accumulates in f32 regardless — a lax.scan over sorted chunks
+    scatter-adding into the f32 table cotangent (the carry aliases
+    in-place under XLA), so no second [L, D] f32 buffer ever exists.
+    """
+    rows = jnp.take(table, ids, axis=0, mode="fill", fill_value=0)
+    return rows.astype(out_dtype) if out_dtype is not None else rows
+
+
+def ident_pick_gather(table, ids, perm, srt, out_dtype=None):
+    """Convenience order: arrays first, static dtype last."""
+    return _ident_pick_gather(out_dtype, table, ids, perm, srt)
+
+
+def _ipg_fwd(out_dtype, table, ids, perm, srt):
+    rows = jnp.take(table, ids, axis=0, mode="fill", fill_value=0)
+    if out_dtype is not None:
+        rows = rows.astype(out_dtype)
+    return rows, (perm, srt, table.shape[0],
+                  jnp.zeros((0,), table.dtype), ids.shape)
+
+
+def _ipg_bwd(out_dtype, res, g):
+    from primekg_rgcn_tpu.ops.pallas.segment_sum import \
+        dense_sorted_segment_sum
+
+    perm, srt, rows, tab_proto, ids_shape = res
+    # Reorder cotangents into id order (a row gather — ~14 ns/row on v5e),
+    # then accumulate with the dense-output Pallas kernel: XLA's scatter-add
+    # into a [10M, 64] target costs ~200 ns/row (1.9 s at 9.8M rows,
+    # sorted-or-not) and WAS the sampled-10m step's dominant cost. The
+    # kernel accumulates in f32 from bf16 cotangents exactly (one-hot MXU
+    # matmul with f32 accumulation), so the bf16 cotangent stream loses
+    # nothing while halving gather bytes.
+    gp = jnp.take(g, perm, axis=0)
+    dt = dense_sorted_segment_sum(gp, srt, rows).astype(tab_proto.dtype)
+    f0 = jax.dtypes.float0
+    return (dt, np.zeros(ids_shape, f0), np.zeros(perm.shape, f0),
+            np.zeros(srt.shape, f0))
+
+
+_ident_pick_gather.defvjp(_ipg_fwd, _ipg_bwd)
 
 
 def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
-                           budget: int, mode: str):
+                           budget: int, mode: str, allow_ident: bool = False):
     m = frontier.shape[0]
     n = ccsr.num_nodes
     r_count = ccsr.num_relations
@@ -616,22 +714,38 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
                                (m, budget))
         valid = idx < dtot[:, None]
     pos = start[:, None] + jnp.minimum(idx, jnp.maximum(dtot[:, None] - 1, 0))
-    picks = jnp.where(valid, jnp.take(ccsr.col, pos), n)
-    # Invalid slots tag the LAST relation (weight 0) so per-row rel tags
-    # stay ascending — the aggregation's sorted-segment promise needs it.
-    rtag = jnp.where(valid, jnp.take(ccsr.rel, pos).astype(jnp.int32),
-                     r_count - 1)
-    if ccsr.edge_deg.shape[0]:
-        # Slim layout: the picked edge's (dst, rel) in-degree rides along
-        # per edge — no [(N+1) * R] table exists at this scale.
-        deg_r = jnp.where(valid, jnp.take(ccsr.edge_deg, pos),
-                          ccsr.edge_deg.dtype.type(0)).astype(jnp.float32)
-    else:
-        # Fat layout: word-width gather into the degree table.
-        deg_r = jnp.take(
-            ccsr.deg_rel_flat,
-            frontier[:, None] * r_count + rtag).astype(jnp.float32)
+    if ccsr.packed is not None and ccsr.packed.shape[0]:
+        # Packed slim layout: (src, rel | deg) in one int32[E, 2] record —
+        # ONE 8-byte row gather per slot instead of three element gathers.
+        rec = jnp.take(ccsr.packed, pos.reshape(-1),
+                       axis=0).reshape(m, budget, 2)
+        picks = jnp.where(valid, rec[..., 0], n)
+        meta = rec[..., 1]
+        # Invalid slots tag the LAST relation (weight 0) so per-row rel
+        # tags stay ascending — the aggregation's sorted-segment promise.
+        rtag = jnp.where(valid, meta >> 16, r_count - 1)
+        deg_r = jax.lax.bitcast_convert_type(
+            (meta & 0xFFFF).astype(jnp.uint16),
+            jnp.float16).astype(jnp.float32)
         deg_r = jnp.where(valid, deg_r, 0.0)
+    else:
+        picks = jnp.where(valid, jnp.take(ccsr.col, pos), n)
+        # Invalid slots tag the LAST relation (weight 0) so per-row rel tags
+        # stay ascending — the aggregation's sorted-segment promise needs it.
+        rtag = jnp.where(valid, jnp.take(ccsr.rel, pos).astype(jnp.int32),
+                         r_count - 1)
+        if ccsr.edge_deg.shape[0]:
+            # Unpacked slim layout (R > 32767 or f16-overflowing hub): the
+            # picked edge's (dst, rel) in-degree rides along per edge.
+            deg_r = jnp.where(
+                valid, jnp.take(ccsr.edge_deg, pos),
+                ccsr.edge_deg.dtype.type(0)).astype(jnp.float32)
+        else:
+            # Fat layout: word-width gather into the degree table.
+            deg_r = jnp.take(
+                ccsr.deg_rel_flat,
+                frontier[:, None] * r_count + rtag).astype(jnp.float32)
+            deg_r = jnp.where(valid, deg_r, 0.0)
     if mode == "uniform":
         w = dtot[:, None].astype(jnp.float32) / (
             budget * jnp.maximum(deg_r, 1.0))
@@ -657,7 +771,19 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         picks, rtag, w = g1(picks), g1(rtag), g1(w)
 
     raw = jnp.concatenate([frontier, picks.reshape(-1)])
-    cap = _unique_cap(int(raw.shape[0]), n)
+    raw_len = int(raw.shape[0])
+    if allow_ident and raw_len >= IDENT_FRACTION * (n + 1):
+        # Near-saturated innermost frontier: skip dedup, keep global ids.
+        # The backward still needs the raw stream's argsort (sorted
+        # segment-sum into table rows); forward-only traces DCE it away.
+        perm = jnp.argsort(raw).astype(jnp.int32)
+        srt = jnp.take(raw, perm, axis=0)
+        block = CombinedBlock(
+            src_local=picks, rel_tag=rtag, slot_w=w,
+            self_idx=frontier, out_ids=frontier, sort_perm=perm,
+            sort_uid=srt, m_out=m, m_in=n, ident=True)
+        return key, None, block
+    cap = _unique_cap(raw_len, n)
     uniq, inv, perm, uid = _sorted_unique(raw, cap, n)
     block = CombinedBlock(
         src_local=inv[m:].reshape(m, budget), rel_tag=rtag, slot_w=w,
@@ -668,12 +794,20 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
 
 def sample_batch_combined(key: jax.Array, ccsr: CombinedCsr,
                           seeds: jnp.ndarray, budgets: Sequence[int],
-                          *, mode: str = "uniform") -> SampledBatch:
+                          *, mode: str = "uniform",
+                          allow_ident: bool = False) -> SampledBatch:
     """Combined-layout analogue of :func:`sample_batch`.
 
     ``budgets`` are TOTAL per-node in-neighbor budgets per layer
     (outermost-first) covering all relations jointly — compare per-relation
     ``fanouts`` which cost R x f slots per node.
+
+    ``allow_ident=True`` lets the INNERMOST layer go identity when its raw
+    slot stream covers >= IDENT_FRACTION of the node space (see
+    :class:`CombinedBlock`): ``batch.frontier`` is then None and the
+    encoder gathers straight from the embedding table. Only single-chip
+    paths may enable it — sharded layouts rely on frontier-sized
+    collectives and must keep the deduplicated frontier.
     """
     seeds = seeds.astype(jnp.int32)
     cap0 = _unique_cap(int(seeds.shape[0]), ccsr.num_nodes)
@@ -681,28 +815,38 @@ def sample_batch_combined(key: jax.Array, ccsr: CombinedCsr,
         seeds, return_inverse=True, size=cap0, fill_value=ccsr.num_nodes)
     seed_gather = seed_gather.astype(jnp.int32)
     blocks: List[CombinedBlock] = []
-    for f in budgets:
+    for li, f in enumerate(budgets):
         key, frontier, block = _sample_layer_combined(
-            key, ccsr, frontier, int(f), mode)
+            key, ccsr, frontier, int(f), mode,
+            allow_ident=allow_ident and li == len(budgets) - 1)
         blocks.append(block)
     return SampledBatch(frontier=frontier, blocks=tuple(reversed(blocks)),
                         seed_gather=seed_gather)
 
 
 def _block_aggregate_combined(layer_params, x_in: jnp.ndarray,
-                              block: CombinedBlock, materialize_fn
-                              ) -> jnp.ndarray:
+                              block: CombinedBlock, materialize_fn,
+                              compute_dtype=None) -> jnp.ndarray:
     w_rel = materialize_fn(layer_params)   # [R, Din, Dout]
     w_root = layer_params["w_root"]
     bias = layer_params["bias"]
     r_count = w_rel.shape[0]
     din, dout = w_rel.shape[1], w_rel.shape[2]
-    w_rel = w_rel.astype(x_in.dtype)
-    w_root = w_root.astype(x_in.dtype)
-    bias = bias.astype(x_in.dtype)
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None \
+        else x_in.dtype
+    w_rel = w_rel.astype(dt)
+    w_root = w_root.astype(dt)
+    bias = bias.astype(dt)
     inv_all = jnp.concatenate(
         [block.self_idx, block.src_local.reshape(-1)])
-    rows = dedup_gather(x_in, inv_all, block.sort_perm, block.sort_uid)
+    if block.ident:
+        # x_in is the raw table; ids are global; sentinel (== num_nodes)
+        # fills zero. Conversion rides inside the op (gather-then-convert;
+        # casting the table first would materialize a full [N, D] copy).
+        rows = ident_pick_gather(x_in, inv_all, block.sort_perm,
+                                 block.sort_uid, dt)
+    else:
+        rows = dedup_gather(x_in, inv_all, block.sort_perm, block.sort_uid)
     m = block.m_out
     out = rows[:m] @ w_root + bias[None, :]
     budget = block.src_local.shape[1]
@@ -722,7 +866,7 @@ def _block_aggregate_combined(layer_params, x_in: jnp.ndarray,
 
     impl = os.environ.get("PRIMEKG_COMBINED_AGG", "einsum")
     msg3 = rows[m:].reshape(m, budget, din)
-    slot_w = block.slot_w.astype(x_in.dtype)  # keep bf16 paths bf16
+    slot_w = block.slot_w.astype(dt)  # keep bf16 paths bf16
     if impl == "einsum":
         msg = msg3 * slot_w[..., None]
         onehot = (block.rel_tag[..., None]

@@ -239,7 +239,14 @@ def encoder_apply_sampled(
     # backward is one sorted segment-sum into the table, not a scatter.
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                      else jnp.float32)
-    if x0 is not None:
+    ident0 = bool(getattr(batch.blocks[0], "ident", False))
+    if ident0:
+        # Identity innermost block (near-saturated frontier): the layer-0
+        # "input table" IS the raw embedding table — no frontier gather and
+        # no [frontier, D] materialization exist at all. Row fetch +
+        # compute-dtype conversion happen per-pick inside block_aggregate.
+        x = x0 if x0 is not None else enc["node_emb"]
+    elif x0 is not None:
         x = x0.astype(compute_dtype)
     else:
         # Gather THEN convert: casting the table first materializes a full
@@ -258,7 +265,9 @@ def encoder_apply_sampled(
             f"need {len(layers)} sampled blocks, got {len(batch.blocks)}")
 
     for li, (layer, block) in enumerate(zip(layers, batch.blocks)):
-        x = block_aggregate(layer, x, block, materialize_relation_weights)
+        x = block_aggregate(layer, x, block, materialize_relation_weights,
+                            compute_dtype=compute_dtype if
+                            (li == 0 and ident0) else None)
         # Sentinel rows must stay exactly zero (the bias would otherwise
         # leak into higher layers through their sampled picks).
         x = jnp.where((block.out_ids == n)[:, None],

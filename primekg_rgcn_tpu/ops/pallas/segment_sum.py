@@ -357,6 +357,161 @@ def _segment_kernel(tile_ref, chunk_ref, first_ref, skip_ref, n_runs_ref,
             jax.lax.fori_loop(0, n_runs, store, 0)
 
 
+# ---------------------------------------------------------------------------
+# Dense sorted segment-sum for BATCH-DYNAMIC ids (the sampled path's backward)
+# ---------------------------------------------------------------------------
+#
+# The schedule-driven kernel above needs host-precomputed run metadata, which
+# only exists for STATIC graphs. The sampled training step's table-gradient
+# accumulation has batch-dynamic sorted ids (RNG picks), and XLA's scatter-add
+# costs ~200 ns/row into a [10M, 64] target on v5e (measured: 1,907 ms for
+# 9.8M rows, `indices_are_sorted` ignored) — it WAS the sampled-10m step's
+# dominant cost twice over (grad segsum + row update).
+#
+# This variant exploits that the OUTPUT here is (near-)dense over [0, N): the
+# destination row of a value IS its id, so no run compaction table is needed —
+# a chunk of K sorted ids maps onto a K-row output tile window by local id,
+# and the whole schedule reduces to "(tile, chunk) pairs that intersect",
+# computable ON DEVICE with two searchsorted calls (no scatters anywhere):
+#
+#   - grid = flat (tile, chunk) pairs, tile-major (static bound
+#     n_chunks + 2*n_tiles: each tile >= 1 pair, each extra pair is a chunk
+#     crossing a tile boundary, <= n_tiles of those);
+#   - kernel body = ONE iota-compare one-hot + ONE [K, K] @ [K, D] MXU
+#     matmul accumulated into the VMEM-resident K-row output tile;
+#   - ids outside the pair's tile window (straddling chunks, sentinel ids
+#     >= num_segments, padding) match no one-hot row and drop for free.
+#
+# Measured v5e, 9.8M bf16 rows -> [10M, 64] f32: 36 ms vs XLA's 1,907 ms
+# (53x; see docs/KERNELS.md "The sampled path at scale").
+
+DENSE_SEG_K = 512
+
+
+def _dense_pairs(srt_p: jnp.ndarray, n_chunks: int, n_tiles: int, k: int):
+    """Device-side (tile, chunk) pair schedule for sorted ids ``srt_p``.
+
+    Vectorized searchsorted only — no scatter touches anything sized by L
+    or N. Returns int32 [P_max] arrays (tile, chunk, first, skip) where
+    P_max = n_chunks + 2 * n_tiles is the static pair bound.
+    """
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * k
+    edges = jnp.searchsorted(srt_p, bounds).astype(jnp.int32)
+    t_starts, t_stops = edges[:-1], edges[1:]
+    c_lo = t_starts // k
+    c_hi = jnp.maximum(-(-t_stops // k), c_lo)
+    count = jnp.maximum(c_hi - c_lo, 1)
+    off = jnp.cumsum(count)
+    off0 = jnp.concatenate([jnp.zeros((1,), off.dtype), off])
+    p_max = n_chunks + 2 * n_tiles
+    p = jnp.arange(p_max, dtype=off.dtype)
+    tile_of = jnp.searchsorted(off, p, side="right").astype(jnp.int32)
+    tile_c = jnp.minimum(tile_of, n_tiles - 1)
+    i = p - jnp.take(off0, tile_c)
+    chunk = jnp.minimum(jnp.take(c_lo, tile_c) + i.astype(jnp.int32),
+                        n_chunks - 1)
+    valid = p < off[-1]
+    empty = jnp.take(c_hi, tile_c) == jnp.take(c_lo, tile_c)
+    skip = (~valid | empty).astype(jnp.int32)
+    first = (valid & (i == 0)).astype(jnp.int32)
+    return tile_c, chunk, first, skip
+
+
+def _dense_seg_kernel(tile_ref, chunk_ref, first_ref, skip_ref, ids_ref,
+                      msg_ref, out_ref, *, k: int, f32_exact: bool):
+    p = pl.program_id(0)
+
+    @pl.when(first_ref[p] == 1)
+    def _zero():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(skip_ref[p] == 0)
+    def _body():
+        t0 = tile_ref[p] * k
+        local = ids_ref[0, 0, :].reshape(1, k) - t0
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+        one_hot = (row_ids == local).astype(jnp.bfloat16)
+        if f32_exact:
+            # f32 messages: exact 3-term bf16 split (one-hot is exact in
+            # bf16 already) — same trick as _segment_kernel above.
+            m = msg_ref[:]
+            m1 = m.astype(jnp.bfloat16)
+            r1 = m - m1.astype(jnp.float32)
+            m2 = r1.astype(jnp.bfloat16)
+            m3 = (r1 - m2.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jnp.dot(one_hot, m1, preferred_element_type=jnp.float32)
+            acc += jnp.dot(one_hot, m2, preferred_element_type=jnp.float32)
+            acc += jnp.dot(one_hot, m3, preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.dot(one_hot, msg_ref[:],
+                          preferred_element_type=jnp.float32)
+        out_ref[:] += acc
+
+
+def dense_sorted_segment_sum(
+    msg: jnp.ndarray,
+    srt: jnp.ndarray,
+    num_segments: int,
+    *,
+    k: int = DENSE_SEG_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """f32 segment-sum of ``msg`` by SORTED batch-dynamic ids ``srt``.
+
+    Args:
+        msg: [L, D] float32 or bfloat16 rows (D % 64 == 0).
+        srt: int32[L] non-decreasing ids; ids >= num_segments drop.
+        num_segments: output rows N; ids are expected (near-)dense in
+            [0, N) — correct for any sorted ids, but the pair schedule is
+            sized for density (sparse id sets just skip empty tiles).
+
+    Returns [N, D] float32.
+    """
+    ln, d_dim = msg.shape
+    if d_dim % 64:
+        # Lane-pad narrow features (test-size dims); production dims are
+        # already 64-multiples.
+        dp = -(-d_dim // 64) * 64
+        msg = jnp.concatenate(
+            [msg, jnp.zeros((ln, dp - d_dim), msg.dtype)], axis=1)
+        return dense_sorted_segment_sum(
+            msg, srt, num_segments, k=k, interpret=interpret)[:, :d_dim]
+    lp = -(-ln // k) * k
+    if lp != ln:
+        pad = lp - ln
+        msg = jnp.concatenate(
+            [msg, jnp.zeros((pad, d_dim), msg.dtype)], axis=0)
+        srt = jnp.concatenate(
+            [srt, jnp.full((pad,), num_segments, srt.dtype)], axis=0)
+    n_chunks = lp // k
+    n_tiles = -(-num_segments // k)
+    tile_c, chunk, first, skip = _dense_pairs(srt, n_chunks, n_tiles, k)
+    p_max = n_chunks + 2 * n_tiles
+
+    if jax.default_backend() == "cpu":
+        interpret = True
+
+    f32_exact = msg.dtype == jnp.float32
+    kernel = functools.partial(_dense_seg_kernel, k=k, f32_exact=f32_exact)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p_max,),
+        in_specs=[
+            pl.BlockSpec((1, 1, k), lambda p, *pf: (pf[1][p], 0, 0)),
+            pl.BlockSpec((k, d_dim), lambda p, *pf: (pf[1][p], 0)),
+        ],
+        out_specs=pl.BlockSpec((k, d_dim), lambda p, *pf: (pf[0][p], 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * k, d_dim), jnp.float32),
+        interpret=interpret,
+    )(tile_c, chunk, first, skip,
+      srt.astype(jnp.int32).reshape(n_chunks, 1, k), msg)
+    return out[:num_segments]
+
+
 def sorted_segment_sum_pallas(
     msg: jnp.ndarray,
     dst: jnp.ndarray,

@@ -79,13 +79,15 @@ def _csr_operands(csr, use_combined):
     tables. Passed-in jax.Arrays stay device-resident.
     """
     if use_combined:
+        packed = csr.packed if csr.packed is not None \
+            else jnp.zeros((0, 2), jnp.int32)
         arrays = (csr.row_start, csr.col, csr.rel, csr.edge_deg,
-                  csr.deg_total, csr.deg_rel_flat)
+                  csr.deg_total, csr.deg_rel_flat, packed)
 
         def rebuild(a):
             return csr._replace(row_start=a[0], col=a[1], rel=a[2],
                                 edge_deg=a[3], deg_total=a[4],
-                                deg_rel_flat=a[5])
+                                deg_rel_flat=a[5], packed=a[6])
     else:
         arrays = (csr.row_start, csr.row_count, csr.col)
 
@@ -138,7 +140,7 @@ def build_sampled_train_step(
         seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
         if use_combined:
             batch = sample_batch_combined(k_sample, csr, seeds, fanouts,
-                                          mode=mode)
+                                          mode=mode, allow_ident=True)
         else:
             batch = sample_batch(k_sample, csr, seeds, fanouts, mode=mode)
         emb = encoder_apply_sampled(params, batch, model_cfg, train=True,
@@ -178,15 +180,23 @@ def build_sampled_train_step(
         seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
         if use_combined:
             batch = sample_batch_combined(k_sample, csr_l, seeds, fanouts,
-                                          mode=mode)
+                                          mode=mode, allow_ident=True)
         else:
             batch = sample_batch(k_sample, csr_l, seeds, fanouts,
                                  mode=mode)
         emb_table, rest = _split_emb(state.params)
-        sentinel = (batch.frontier == n)[:, None]
-        rows = table_gather_sorted(emb_table,
-                                   jnp.minimum(batch.frontier, n - 1))
-        rows = jnp.where(sentinel, jnp.zeros((), rows.dtype), rows)
+        ident0 = bool(getattr(batch.blocks[0], "ident", False))
+        if ident0:
+            # Near-saturated frontier: differentiate w.r.t. the TABLE
+            # itself (the identity block gathers from it directly); the
+            # update is the dense SGD triad — at ~98% node coverage a
+            # "sparse" row scatter would touch the same rows anyway.
+            rows = emb_table
+        else:
+            sentinel = (batch.frontier == n)[:, None]
+            rows = table_gather_sorted(emb_table,
+                                       jnp.minimum(batch.frontier, n - 1))
+            rows = jnp.where(sentinel, jnp.zeros((), rows.dtype), rows)
 
         def loss_from_rows(rows_v, rest_v):
             emb = encoder_apply_sampled(
@@ -203,11 +213,16 @@ def build_sampled_train_step(
             loss_from_rows, argnums=(0, 1), has_aux=True)(rows, rest)
         updates, opt_state = optimizer.update(g_rest, state.opt_state, rest)
         rest = optax.apply_updates(rest, updates)
-        # Frontier ids are sorted-UNIQUE (fill value n), so the scatter-add
-        # applies each row's gradient exactly once and fill slots fall out
-        # of bounds and are dropped.
-        emb_table = emb_table.at[batch.frontier].add(
-            (-train_cfg.lr * g_rows).astype(emb_table.dtype), mode="drop")
+        if ident0:
+            emb_table = emb_table - (train_cfg.lr * g_rows).astype(
+                emb_table.dtype)
+        else:
+            # Frontier ids are sorted-UNIQUE (fill value n), so the
+            # scatter-add applies each row's gradient exactly once and
+            # fill slots fall out of bounds and are dropped.
+            emb_table = emb_table.at[batch.frontier].add(
+                (-train_cfg.lr * g_rows).astype(emb_table.dtype),
+                mode="drop")
         params = _merge_emb(rest, emb_table)
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
 
@@ -272,7 +287,7 @@ def build_sampled_eval_epoch(csr, val_edges, model_cfg: ModelConfig,
             seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
             if use_combined:
                 sb = sample_batch_combined(k_sample, csr_l, seeds, fanouts,
-                                           mode=mode)
+                                           mode=mode, allow_ident=True)
             else:
                 sb = sample_batch(k_sample, csr_l, seeds, fanouts,
                                   mode=mode)

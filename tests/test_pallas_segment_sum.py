@@ -100,3 +100,52 @@ def test_layer_with_explicit_pallas_impl(tiny_graph):
                                  jnp.asarray(dst), jnp.asarray(rel), n, r)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_dense),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# dense_sorted_segment_sum: batch-dynamic sorted ids (sampled-path backward)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.mark.parametrize("ln,n,dtype", [
+    (1000, 700, "float32"),       # L not a multiple of K, N not either
+    (4096, 512, "float32"),       # N == one tile exactly
+    (2048, 3000, "bfloat16"),     # sparse ids (empty tiles)
+    (513, 100, "bfloat16"),       # L = K + 1
+    (100, 5000, "float32"),       # L << N (mostly empty tiles)
+])
+def test_dense_sorted_segment_sum_matches_xla(ln, n, dtype):
+    from primekg_rgcn_tpu.ops.pallas.segment_sum import \
+        dense_sorted_segment_sum
+
+    rng = np.random.default_rng(ln + n)
+    # include sentinel ids == n (must drop) and duplicates
+    ids = np.sort(rng.integers(0, n + 1, ln)).astype(np.int32)
+    msg = rng.standard_normal((ln, 64)).astype(np.float32)
+    msg_j = jnp.asarray(msg).astype(dtype)
+
+    out = dense_sorted_segment_sum(msg_j, jnp.asarray(ids), n)
+    assert out.shape == (n, 64) and out.dtype == jnp.float32
+
+    keep = ids < n
+    ref = jax.ops.segment_sum(
+        np.asarray(msg_j.astype(jnp.float32))[keep], ids[keep],
+        num_segments=n)
+    tol = 1e-5 if dtype == "float32" else 1e-6  # f32 split / exact bf16 acc
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=tol * 64)
+
+
+def test_dense_sorted_segment_sum_one_giant_run():
+    from primekg_rgcn_tpu.ops.pallas.segment_sum import \
+        dense_sorted_segment_sum
+
+    ln, n = 2048, 900
+    msg = jnp.ones((ln, 64), jnp.bfloat16)
+    ids = jnp.full((ln,), 7, jnp.int32)
+    out = dense_sorted_segment_sum(msg, ids, n)
+    ref = np.zeros((n, 64), np.float32)
+    ref[7] = ln
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6)

@@ -169,6 +169,48 @@ def test_combined_full_budget_truncate_equals_full_graph():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_ident_mode_matches_dedup():
+    """allow_ident=True (near-saturated innermost frontier -> gather
+    straight from the table, no dedup) must produce the same picks, the
+    same forward embeddings, and the same gradients as the deduplicated
+    path — identity is a memory/throughput layout, not a semantics
+    change."""
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    seeds = jnp.asarray(np.arange(30, dtype=np.int32))
+    key = jax.random.PRNGKey(7)
+    b_id = sample_batch_combined(key, ccsr, seeds, (8, 8),
+                                 allow_ident=True)
+    b_no = sample_batch_combined(key, ccsr, seeds, (8, 8))
+    assert b_id.blocks[0].ident and not b_no.blocks[0].ident
+    assert b_id.frontier is None
+    # Same RNG -> same sampled multiset; ident keeps global ids while the
+    # dedup block remaps through its unique table.
+    uniq = np.asarray(b_no.frontier)
+    np.testing.assert_array_equal(
+        np.asarray(b_id.blocks[0].src_local),
+        uniq[np.asarray(b_no.blocks[0].src_local)])
+    np.testing.assert_array_equal(np.asarray(b_id.blocks[0].rel_tag),
+                                  np.asarray(b_no.blocks[0].rel_tag))
+    np.testing.assert_array_equal(np.asarray(b_id.blocks[0].slot_w),
+                                  np.asarray(b_no.blocks[0].slot_w))
+
+    def loss(p, b):
+        emb = encoder_apply_sampled(p, b, cfg)
+        return (emb * emb).sum()
+
+    np.testing.assert_allclose(float(loss(params, b_id)),
+                               float(loss(params, b_no)),
+                               rtol=1e-6)
+    g_id = jax.grad(lambda p: loss(p, b_id))(params)
+    g_no = jax.grad(lambda p: loss(p, b_no))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_id, g_no)
+
+
 def test_combined_uniform_is_unbiased_estimate():
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
 
@@ -604,24 +646,43 @@ def test_zero3_val_sampled_trainer(tmp_path):
 
 
 def test_combined_csr_edge_annotations():
-    """Slim layout: edge_deg must equal the (dst, rel) in-degree of each
-    merged edge; rel stores int8 for R <= 127 and the weights stay exact."""
+    """Slim layout: ONE packed int32[E, 2] record per edge — src id in
+    column 0, (rel << 16 | f16 bits of the (dst, rel) in-degree) in column
+    1; the separate col/rel/edge_deg arrays are empty."""
     from primekg_rgcn_tpu.data.sampling import build_combined_csr
 
     graph, *_ = _setup_sparse(e=900)
     ccsr = build_combined_csr(graph, slim=True)
-    assert ccsr.rel.dtype == jnp.int8
-    assert ccsr.edge_deg.dtype == jnp.float16
-    assert ccsr.deg_rel_flat.shape[0] == 0
+    assert ccsr.packed.dtype == jnp.int32
+    assert ccsr.packed.shape[1] == 2
+    assert ccsr.col.shape[0] == 0 and ccsr.rel.shape[0] == 0
+    assert ccsr.edge_deg.shape[0] == 0 and ccsr.deg_rel_flat.shape[0] == 0
     row_start = np.asarray(ccsr.row_start)
-    rel = np.asarray(ccsr.rel).astype(np.int64)
-    deg = np.asarray(ccsr.edge_deg).astype(np.float64)
+    packed = np.asarray(ccsr.packed)
+    rel = (packed[:, 1] >> 16).astype(np.int64)
+    deg = (packed[:, 1] & 0xFFFF).astype(
+        np.uint16).view(np.float16).astype(np.float64)
+    col = packed[:, 0]
+    assert (col >= 0).all() and (col < ccsr.num_nodes).all()
+    assert (rel >= 0).all() and (rel < ccsr.num_relations).all()
     n = ccsr.num_nodes
     # Reconstruct dst per edge from row_start, then check run counts.
     dst = np.repeat(np.arange(n + 1), np.diff(row_start).clip(0))
     key = dst * ccsr.num_relations + rel
     _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
     np.testing.assert_array_equal(deg, counts[inv].astype(np.float16))
+    # Fallback (unpacked slim) when a (dst, rel) in-degree overflows f16
+    # (hub with >= 60000 in-edges): arrays come back separate, f32 degree.
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    e_hub = 70_000
+    rng = np.random.default_rng(3)
+    hub = build_rel_graph(rng.integers(0, 50, e_hub),
+                          np.zeros(e_hub, np.int64),
+                          np.zeros(e_hub, np.int64), 50, 2)
+    fb = build_combined_csr(hub, slim=True)
+    assert fb.packed.shape[0] == 0
+    assert fb.rel.shape[0] > 0 and fb.edge_deg.shape[0] > 0
+    assert fb.edge_deg.dtype == jnp.float32
 
 
 def test_combined_csr_layouts_agree():
