@@ -198,11 +198,29 @@ def _dedup_gather_fwd(x, inv, perm, uid):
     return jnp.take(x, inv, axis=0), (perm, uid, x.shape[0], inv.shape)
 
 
+# XLA's scatter-add costs ~8 ns/update into VMEM-resident targets but
+# ~200 ns/update once the target spills to HBM scale (measured v5e: 1.9 s
+# for 9.8M x 64 rows into [10M, 64], sorted-or-not). Above this row count
+# the dense-output Pallas kernel (ops/pallas/segment_sum.py) takes over.
+_DENSE_SEG_MIN_SEGMENTS = 1 << 18
+
+
+def _sorted_accumulate(gp, ids, num_segments):
+    """Sorted segment-sum that picks its lowering by target size."""
+    if num_segments >= _DENSE_SEG_MIN_SEGMENTS:
+        from primekg_rgcn_tpu.ops.pallas.segment_sum import \
+            dense_sorted_segment_sum
+
+        return dense_sorted_segment_sum(gp, ids, num_segments).astype(
+            gp.dtype)
+    return jax.ops.segment_sum(gp, ids, num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
 def _dedup_gather_bwd(res, g):
     perm, uid, m_in, inv_shape = res
     gp = jnp.take(g, perm, axis=0)
-    dx = jax.ops.segment_sum(gp, uid, num_segments=m_in,
-                             indices_are_sorted=True)
+    dx = _sorted_accumulate(gp, uid, m_in)
     f0 = jax.dtypes.float0
     return (dx, np.zeros(inv_shape, f0), np.zeros(perm.shape, f0),
             np.zeros(uid.shape, f0))
@@ -228,8 +246,7 @@ def _tg_fwd(table, ids):
 
 def _tg_bwd(res, g):
     ids, rows = res
-    dt = jax.ops.segment_sum(g, ids, num_segments=rows,
-                             indices_are_sorted=True)
+    dt = _sorted_accumulate(g, ids, rows)
     return dt, np.zeros(ids.shape, jax.dtypes.float0)
 
 
@@ -631,6 +648,16 @@ class CombinedBlock(NamedTuple):
     m_out: int
     m_in: int
     ident: bool = False
+    tags_sorted: bool = True
+
+
+def _combined_agg_impl() -> str:
+    """The per-(node, relation) reduction structure (see
+    _block_aggregate_combined). Read in both the sampler (whether the
+    per-row tag sort is needed at all) and the aggregation."""
+    import os
+
+    return os.environ.get("PRIMEKG_COMBINED_AGG", "einsum")
 
 
 # Innermost-layer frontiers whose raw slot count reaches this fraction of
@@ -753,22 +780,26 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         w = 1.0 / jnp.maximum(deg_r, 1.0)
     w = jnp.where(valid & (deg_r > 0), w, 0.0)
 
-    # Sort each node's slots by relation tag so the aggregation's flat
-    # (node*R + rel) segment ids are globally ascending — the per-relation
-    # reduction then runs as ONE sorted segment-sum + one [M, R*Din] matmul
-    # on the MXU. (The one-hot einsum alternative lowers to a broadcast
-    # product that streams M*F*R*D floats — ~40 GB and 150 ms at full-
-    # PrimeKG scale.) The merged CSR is already rel-sorted per node, so
-    # truncate-mode picks arrive sorted; uniform picks need the sort.
+    # Sort each node's slots by relation tag — ONLY the rowwise/chunked
+    # aggregation structures need ascending per-row tags (their cumsum-diff
+    # reduction is a sorted-segment walk); the DEFAULT one-hot einsum is
+    # slot-order-independent, so it skips the [M, F] argsort plus the three
+    # M*F-element regathers entirely (measured ~100 ms of the config-5
+    # sample forward). The merged CSR is already rel-sorted per node, so
+    # truncate-mode picks arrive sorted either way.
+    tags_sorted = True
     if mode == "uniform":
-        order = jnp.argsort(rtag, axis=1, stable=True)
-        # Flat 1-D gathers, not take_along_axis (which lowers to M*F
-        # single-element gathers on TPU — 20 ms per array at this size).
-        flat = (jnp.arange(m, dtype=jnp.int32)[:, None] * budget
-                + order).reshape(-1)
-        g1 = lambda a: jnp.take(a.reshape(-1), flat, axis=0).reshape(  # noqa: E731
-            m, budget)
-        picks, rtag, w = g1(picks), g1(rtag), g1(w)
+        if _combined_agg_impl() != "einsum":
+            order = jnp.argsort(rtag, axis=1, stable=True)
+            # Flat 1-D gathers, not take_along_axis (which lowers to M*F
+            # single-element gathers on TPU — 20 ms per array at this size).
+            flat = (jnp.arange(m, dtype=jnp.int32)[:, None] * budget
+                    + order).reshape(-1)
+            g1 = lambda a: jnp.take(a.reshape(-1), flat, axis=0).reshape(  # noqa: E731
+                m, budget)
+            picks, rtag, w = g1(picks), g1(rtag), g1(w)
+        else:
+            tags_sorted = False
 
     raw = jnp.concatenate([frontier, picks.reshape(-1)])
     raw_len = int(raw.shape[0])
@@ -781,14 +812,15 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         block = CombinedBlock(
             src_local=picks, rel_tag=rtag, slot_w=w,
             self_idx=frontier, out_ids=frontier, sort_perm=perm,
-            sort_uid=srt, m_out=m, m_in=n, ident=True)
+            sort_uid=srt, m_out=m, m_in=n, ident=True,
+            tags_sorted=tags_sorted)
         return key, None, block
     cap = _unique_cap(raw_len, n)
     uniq, inv, perm, uid = _sorted_unique(raw, cap, n)
     block = CombinedBlock(
         src_local=inv[m:].reshape(m, budget), rel_tag=rtag, slot_w=w,
         self_idx=inv[:m], out_ids=frontier, sort_perm=perm, sort_uid=uid,
-        m_out=m, m_in=cap)
+        m_out=m, m_in=cap, tags_sorted=tags_sorted)
     return key, uniq, block
 
 
@@ -862,9 +894,7 @@ def _block_aggregate_combined(layer_params, x_in: jnp.ndarray,
     #   rowwise: whole-batch cumsum-diff (rowwise_rel_sum);
     #   chunked: lax.scan over node chunks + manual VJP, big
     #       intermediates only ever exist at chunk size.
-    import os
-
-    impl = os.environ.get("PRIMEKG_COMBINED_AGG", "einsum")
+    impl = _combined_agg_impl()
     msg3 = rows[m:].reshape(m, budget, din)
     slot_w = block.slot_w.astype(dt)  # keep bf16 paths bf16
     if impl == "einsum":
@@ -874,6 +904,12 @@ def _block_aggregate_combined(layer_params, x_in: jnp.ndarray,
         agg = jnp.einsum("mfr,mfd->mrd", onehot, msg)
         return out + agg.reshape(m, r_count * din) @ w_rel.reshape(
             r_count * din, dout)
+    if not block.tags_sorted:
+        raise ValueError(
+            "PRIMEKG_COMBINED_AGG changed between sampling and aggregation: "
+            f"the '{impl}' reduction needs per-row ascending relation tags, "
+            "but this block was sampled for the order-independent einsum "
+            "path (tag sort skipped). Keep the env var constant per step.")
     ends = jnp.stack(
         [(block.rel_tag <= r).sum(1, dtype=jnp.int32)
          for r in range(r_count)], axis=1)                  # [M, R]

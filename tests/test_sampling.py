@@ -211,6 +211,54 @@ def test_ident_mode_matches_dedup():
         g_id, g_no)
 
 
+def test_dedup_gather_bwd_kernel_path(monkeypatch):
+    """dedup_gather/table_gather_sorted backwards route through the dense
+    Pallas kernel above the size threshold — force the threshold down and
+    check gradients stay identical to the XLA segment-sum path."""
+    import primekg_rgcn_tpu.data.sampling as S
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    seeds = jnp.asarray(np.arange(16, dtype=np.int32))
+    b = S.sample_batch_combined(jax.random.PRNGKey(3), ccsr, seeds, (5, 4))
+
+    def loss(p):
+        emb = encoder_apply_sampled(p, b, cfg)
+        return (emb * emb).sum()
+
+    g_xla = jax.grad(loss)(params)
+    monkeypatch.setattr(S, "_DENSE_SEG_MIN_SEGMENTS", 1)
+    g_ker = jax.grad(loss)(params)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-6),
+        g_xla, g_ker)
+
+
+def test_rowwise_impl_agrees_and_guards(monkeypatch):
+    """The rowwise reduction (sorted per-row tags) must agree with the
+    default einsum path; a block sampled FOR einsum (tag sort skipped)
+    must be rejected by the order-dependent impls with a clear error."""
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    seeds = jnp.asarray(np.arange(20, dtype=np.int32))
+    key = jax.random.PRNGKey(11)
+
+    b_e = sample_batch_combined(key, ccsr, seeds, (6, 5))
+    out_e = np.asarray(encoder_apply_sampled(params, b_e, cfg))
+
+    monkeypatch.setenv("PRIMEKG_COMBINED_AGG", "rowwise")
+    b_r = sample_batch_combined(key, ccsr, seeds, (6, 5))
+    assert b_r.blocks[0].tags_sorted and not b_e.blocks[0].tags_sorted
+    out_r = np.asarray(encoder_apply_sampled(params, b_r, cfg))
+    np.testing.assert_allclose(out_r, out_e, rtol=1e-4, atol=1e-5)
+
+    # Cross-impl misuse: einsum-sampled block into the rowwise reduction.
+    import pytest
+    with pytest.raises(ValueError, match="PRIMEKG_COMBINED_AGG"):
+        encoder_apply_sampled(params, b_e, cfg)
+
+
 def test_combined_uniform_is_unbiased_estimate():
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
 
