@@ -485,12 +485,23 @@ def dense_sorted_segment_sum(
             [srt, jnp.full((pad,), num_segments, srt.dtype)], axis=0)
     n_chunks = lp // k
     n_tiles = -(-num_segments // k)
-    tile_c, chunk, first, skip = _dense_pairs(srt, n_chunks, n_tiles, k)
-    p_max = n_chunks + 2 * n_tiles
 
     if jax.default_backend() == "cpu":
         interpret = True
+    try:
+        vma = jax.typeof(msg).vma
+    except AttributeError:
+        vma = None
+    if interpret and vma:
+        # Inside a vma-checked shard_map on the simulated CPU mesh the
+        # Pallas interpreter trips over mixed varying/invariant index ops
+        # (same limitation as segment_sum_from_schedule above). Exact XLA
+        # fallback; real TPU multichip compiles the kernel via Mosaic.
+        return jnp.zeros((num_segments, d_dim), jnp.float32).at[srt].add(
+            msg.astype(jnp.float32), indices_are_sorted=True, mode="drop")
 
+    tile_c, chunk, first, skip = _dense_pairs(srt, n_chunks, n_tiles, k)
+    p_max = n_chunks + 2 * n_tiles
     f32_exact = msg.dtype == jnp.float32
     kernel = functools.partial(_dense_seg_kernel, k=k, f32_exact=f32_exact)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -505,7 +516,8 @@ def dense_sorted_segment_sum(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * k, d_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * k, d_dim), jnp.float32,
+                                       vma=vma),
         interpret=interpret,
     )(tile_c, chunk, first, skip,
       srt.astype(jnp.int32).reshape(n_chunks, 1, k), msg)

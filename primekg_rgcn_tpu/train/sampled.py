@@ -639,6 +639,8 @@ def _make_sharded_row_fetch(axis_name: str, n_dev: int):
                                                 emb_loc.shape)
 
     def _bwd(res, g_rows):
+        from primekg_rgcn_tpu.data.sampling import _sorted_accumulate
+
         owned, loc_ids, shape = res
         # psum_scatter^T = tiled all_gather: every requester's row
         # cotangents, stacked in the same order as the forward's requests.
@@ -648,10 +650,13 @@ def _make_sharded_row_fetch(axis_name: str, n_dev: int):
         cap = g_all.shape[0] // n_dev
         dt = jnp.zeros(shape, g_all.dtype)
         for d in range(n_dev):
-            dt = dt + jax.ops.segment_sum(
+            # _sorted_accumulate routes big slices through the dense
+            # Pallas kernel (XLA scatter costs ~200 ns/row at HBM-scale
+            # targets); small/test slices keep the XLA segment-sum.
+            dt = dt + _sorted_accumulate(
                 g_all[d * cap:(d + 1) * cap],
                 loc_ids[d * cap:(d + 1) * cap],
-                num_segments=shape[0], indices_are_sorted=True)
+                shape[0]).astype(g_all.dtype)
         return (dt, np.zeros(owned.shape, jax.dtypes.float0),
                 np.zeros(loc_ids.shape, jax.dtypes.float0))
 
