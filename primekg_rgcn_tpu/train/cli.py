@@ -90,6 +90,15 @@ def parse_args(argv=None):
                         "(grad_clip/weight_decay 0): update only the "
                         "frontier's embedding rows per step — no dense "
                         "[N, D] table gradient ever materializes")
+    p.add_argument("--table_opt", choices=["sgd", "adafactor"],
+                   default="sgd",
+                   help="with --sparse_emb: the embedding-TABLE update "
+                        "rule. adafactor = factored-second-moment "
+                        "adaptive updates ([N]+[D] state, ~40 MB at 10M "
+                        "nodes vs dense adam's 7.7 GB) — single-chip "
+                        "adaptive training at scales where adam cannot "
+                        "fit; the rest params are then free to use "
+                        "--optimizer adam")
     # Multi-chip (SURVEY.md §2.4; the reference is single-device only,
     # reference: src/train.py:758-761)
     p.add_argument("--shard", choices=["none", "edge", "node"],
@@ -281,7 +290,8 @@ def main(argv=None):
                                  n_devices=sample_ndev, zero1=args.zero1,
                                  zero3=args.zero3, dp_pods=args.dp_pods,
                                  sparse_emb=args.sparse_emb,
-                                 val_sampled=args.val_sampled)
+                                 val_sampled=args.val_sampled,
+                                 table_opt=args.table_opt)
         if args.resume:
             trainer.resume(args.resume)
         _run_training(trainer, args)

@@ -106,6 +106,7 @@ def build_sampled_train_step(
     mode: str = "uniform",
     layout: str = "auto",
     sparse_emb: bool = False,
+    table_opt: str = "sgd",
 ):
     """Returns jitted ``step(state, pos_edges [B, 3], key)``.
 
@@ -122,6 +123,19 @@ def build_sampled_train_step(
     whose table update would also be ``-lr * g`` and must not couple
     leaves across the split (use plain ``optax.sgd``; global-norm clipping
     or adam would change semantics vs the dense step).
+
+    ``table_opt="adafactor"`` (sparse_emb only) gives the TABLE an
+    adaptive optimizer on ONE chip: dense adam needs 3 table-sized
+    states (m, v, update — 7.7 GB at 10M nodes, and this backend
+    declines donation so input+output coexist), which is why the
+    single-chip sampled config runs SGD. Adafactor's FACTORED second
+    moment is [N] + [D] (~40 MB at 10M x 64) — the TPU-idiomatic
+    memory-efficient adaptive rule for huge embedding tables. Its
+    relative-step updates also fix plain SGD's scale problem at 10M
+    nodes (Xavier-over-N init makes DistMult gradients ~1e-7; adaptive
+    normalization restores useful step sizes). State rides in
+    ``TrainState.opt_state`` as ``(rest_state, table_state)``; use the
+    returned step's ``init_state(params)``.
     """
     from primekg_rgcn_tpu.data.sampling import (
         sample_batch_combined, table_gather_sorted)
@@ -168,6 +182,30 @@ def build_sampled_train_step(
 
     n = model_cfg.num_nodes
 
+    if table_opt == "adafactor":
+        if not sparse_emb:
+            raise ValueError("table_opt='adafactor' requires sparse_emb")
+        # Explicit lr, no parameter-scale multiplier: Xavier-over-N init
+        # puts table rows at ~1/sqrt(N) RMS (4e-4 at 10M nodes), so the
+        # relative-step default would shrink updates right back to the
+        # SGD scale the adaptive rule exists to escape. Factor threshold 2
+        # so the [N, 64] table factors (default 128 would keep a dense v).
+        table_tx = optax.adafactor(learning_rate=train_cfg.lr,
+                                   min_dim_size_to_factor=2,
+                                   multiply_by_parameter_scale=False)
+    elif table_opt == "sgd":
+        table_tx = None
+    else:
+        raise ValueError(f"unknown table_opt {table_opt!r}")
+
+    def init_state(params) -> TrainState:
+        if table_tx is not None:
+            emb, rest = _split_emb(params)
+            opt_state = (optimizer.init(rest), table_tx.init(emb))
+        else:
+            opt_state = optimizer.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
     @partial(jax.jit, donate_argnums=(0,))
     def _step_sparse(state: TrainState, pos_edges, key, csr_arrays):
         csr_l = _rebuild(csr_arrays)
@@ -211,11 +249,27 @@ def build_sampled_train_step(
 
         (loss, acc), (g_rows, g_rest) = jax.value_and_grad(
             loss_from_rows, argnums=(0, 1), has_aux=True)(rows, rest)
-        updates, opt_state = optimizer.update(g_rest, state.opt_state, rest)
+        rest_state = state.opt_state[0] if table_tx is not None \
+            else state.opt_state
+        updates, rest_state = optimizer.update(g_rest, rest_state, rest)
         rest = optax.apply_updates(rest, updates)
-        if ident0:
+        if table_tx is not None:
+            if not ident0:
+                raise ValueError(
+                    "table_opt='adafactor' needs the identity innermost "
+                    "block (factored stats want the dense [N, D] "
+                    "gradient); this batch/fanout configuration covers "
+                    f"under {100 * 0.5:.0f}% of the node space — raise "
+                    "batch/fanouts, or use table_opt='sgd' / the dense "
+                    "trainer at this scale.")
+            tupd, table_state = table_tx.update(
+                g_rows.astype(jnp.float32), state.opt_state[1], emb_table)
+            emb_table = optax.apply_updates(emb_table, tupd)
+            opt_state = (rest_state, table_state)
+        elif ident0:
             emb_table = emb_table - (train_cfg.lr * g_rows).astype(
                 emb_table.dtype)
+            opt_state = rest_state
         else:
             # Frontier ids are sorted-UNIQUE (fill value n), so the
             # scatter-add applies each row's gradient exactly once and
@@ -223,6 +277,7 @@ def build_sampled_train_step(
             emb_table = emb_table.at[batch.frontier].add(
                 (-train_cfg.lr * g_rows).astype(emb_table.dtype),
                 mode="drop")
+            opt_state = rest_state
         params = _merge_emb(rest, emb_table)
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
 
@@ -231,6 +286,7 @@ def build_sampled_train_step(
     def step(state: TrainState, pos_edges, key):
         return inner(state, pos_edges, key, csr_arrays)
 
+    step.init_state = init_state
     return step
 
 
@@ -948,7 +1004,7 @@ class SampledTrainer:
     def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
                  val_edges, output_dir, *, fanouts=(15, 10), mode="uniform",
                  n_devices=None, zero1=False, zero3=False, dp_pods=0,
-                 sparse_emb=False, val_sampled=False):
+                 sparse_emb=False, val_sampled=False, table_opt="sgd"):
         import numpy as np
         from pathlib import Path
 
@@ -1040,20 +1096,29 @@ class SampledTrainer:
                 self.state = TrainState(params, self.optimizer.init(params),
                                         jnp.zeros((), jnp.int32))
         else:
-            if sparse_emb and (train_cfg.optimizer != "sgd"
-                               or train_cfg.grad_clip
-                               or train_cfg.weight_decay):
+            if table_opt != "sgd" and not sparse_emb:
+                raise ValueError("--table_opt needs --sparse_emb")
+            if sparse_emb and table_opt == "sgd" and (
+                    train_cfg.optimizer != "sgd" or train_cfg.grad_clip
+                    or train_cfg.weight_decay):
                 raise ValueError(
                     "sparse_emb requires --optimizer sgd with grad_clip "
                     "disabled: the embedding update is a -lr*g scatter, so "
                     "any rule coupling the table with other leaves (adam "
                     "moments, global-norm clip) would diverge from the "
-                    "dense step")
+                    "dense step — or pass --table_opt adafactor, whose "
+                    "factored adaptive rule lifts the restriction on the "
+                    "rest params")
+            if sparse_emb and table_opt != "sgd" and train_cfg.grad_clip:
+                raise ValueError(
+                    "--table_opt adafactor cannot honor global-norm "
+                    "grad_clip (the table gradient is updated separately "
+                    "from the rest); disable --grad_clip")
             self.step_fn = build_sampled_train_step(
                 csr_like, model_cfg, train_cfg, self.optimizer,
-                fanouts=fanouts, mode=mode, sparse_emb=sparse_emb)
-            self.state = TrainState(params, self.optimizer.init(params),
-                                    jnp.zeros((), jnp.int32))
+                fanouts=fanouts, mode=mode, sparse_emb=sparse_emb,
+                table_opt=table_opt)
+            self.state = self.step_fn.init_state(params)
         if val_sampled and self._zero3:
             # Sharded sampled validation: the table never materializes.
             edges_v = np.asarray(val_edges, dtype=np.int32)

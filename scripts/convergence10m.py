@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--eval_edges", type=int, default=4096)
     ap.add_argument("--log_every", type=int, default=25)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--table_opt", default="sgd",
+                    choices=["sgd", "adafactor"],
+                    help="adafactor = factored-second-moment adaptive "
+                         "table updates ([N]+[D] state, ~40 MB at 10M "
+                         "nodes) — the single-chip answer to 'dense adam "
+                         "does not fit'.")
     ap.add_argument("--train_pool", type=int, default=0,
                     help="restrict training batches to a fixed pool of this "
                          "many edges (0 = all). At 10M nodes a 400-step run "
@@ -51,7 +57,6 @@ def main():
     from primekg_rgcn_tpu.data.graph import build_rel_graph
     from primekg_rgcn_tpu.data.synthetic import rmat
     from primekg_rgcn_tpu.models.rgcn import init_params
-    from primekg_rgcn_tpu.train.loop import TrainState
     from primekg_rgcn_tpu.train.sampled import (
         build_sampled_eval_epoch, build_sampled_train_step, resolve_sampler)
 
@@ -79,18 +84,22 @@ def main():
     cfg = ModelConfig(num_nodes=n, num_relations=r,
                       compute_dtype="bfloat16")
     tcfg = TrainConfig(batch_size=1024, lr=args.lr)
-    opt = optax.sgd(tcfg.lr)
+    # With an adaptive table rule there is no dense-step-parity constraint
+    # on the rest params, so they get adam (the reference's optimizer).
+    opt = optax.adam(1e-3) if args.table_opt == "adafactor" \
+        else optax.sgd(tcfg.lr)
     params = init_params(jax.random.PRNGKey(0), cfg)
     # ONE shared CSR: train and eval builders each resolving their own
     # would hold two 880 MB copies on the chip (measured OOM).
     csr, _, _ = resolve_sampler(graph, (15, 10))
     del g, src, dst, rel, graph
     step_fn = build_sampled_train_step(csr, cfg, tcfg, opt,
-                                       fanouts=(15, 10), sparse_emb=True)
+                                       fanouts=(15, 10), sparse_emb=True,
+                                       table_opt=args.table_opt)
     eval_fn = build_sampled_eval_epoch(csr, val_edges, cfg, tcfg,
                                        fanouts=(15, 10))
 
-    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    state = step_fn.init_state(params)
     key = jax.random.PRNGKey(2)
     ek = jax.random.PRNGKey(3)
 
@@ -123,7 +132,10 @@ def main():
     out = {
         "config": {"nodes": n, "edges": e, "relations": r,
                    "batch_size": tcfg.batch_size, "fanouts": [15, 10],
-                   "compute_dtype": "bfloat16", "optimizer": "sgd",
+                   "compute_dtype": "bfloat16",
+                   "table_opt": args.table_opt,
+                   "rest_opt": "adam(1e-3)"
+                               if args.table_opt == "adafactor" else "sgd",
                    "lr": tcfg.lr, "sparse_emb": True,
                    "train_pool": args.train_pool or len(edges)},
         "steps": args.steps,

@@ -259,6 +259,57 @@ def test_rowwise_impl_agrees_and_guards(monkeypatch):
         encoder_apply_sampled(params, b_e, cfg)
 
 
+def test_sparse_emb_adafactor_table():
+    """table_opt='adafactor': factored second moment ([N] + [D] state, not
+    2x [N, D]) drives the table adaptively in the sparse-emb step — and
+    actually learns where plain SGD's Xavier-over-N gradient scale stalls."""
+    import optax
+
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.loop import TrainState
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    tcfg = TrainConfig(batch_size=32, lr=0.05)
+    step = build_sampled_train_step(ccsr, cfg, tcfg, optax.adam(1e-2),
+                                    fanouts=(5, 4), sparse_emb=True,
+                                    table_opt="adafactor")
+    state = step.init_state(params)
+    # Factored: some state leaf must be [N]-shaped (v_row), none [N, D]x2.
+    leaves = jax.tree_util.tree_leaves(state.opt_state[1])
+    n = cfg.num_nodes
+    assert any(lf.shape == (n,) for lf in leaves if hasattr(lf, "shape"))
+    big = [lf for lf in leaves
+           if getattr(lf, "shape", ()) == (n, cfg.embedding_dim)]
+    assert len(big) == 0, "second moment must be factored, not dense"
+
+    # Snapshot before stepping: the step donates its input state, so the
+    # original param buffers are deleted after the first call.
+    emb0 = np.array(params["encoder"]["node_emb"])
+
+    rng = np.random.default_rng(0)
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(120):
+        key, k = jax.random.split(key)
+        idx = rng.integers(0, len(edges), tcfg.batch_size)
+        state, (loss, _) = step(state, jnp.asarray(edges[idx]), k)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.01, (
+        losses[:10], losses[-10:])
+    # The table itself moved (not just the rest params).
+    d = np.abs(np.asarray(state.params["encoder"]["node_emb"]) - emb0).max()
+    assert d > 1e-4
+
+    import pytest
+    with pytest.raises(ValueError, match="requires sparse_emb"):
+        build_sampled_train_step(ccsr, cfg, tcfg, optax.adam(1e-2),
+                                 fanouts=(5, 4), table_opt="adafactor")
+
+
 def test_combined_uniform_is_unbiased_estimate():
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
 
