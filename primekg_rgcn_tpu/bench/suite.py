@@ -129,7 +129,8 @@ def bench_full_batch(**kw) -> Dict:
             "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2)}
 
 
-def bench_sampled(fanouts=(15, 10), dataset="primekg") -> Dict:
+def bench_sampled(fanouts=(15, 10), dataset="primekg",
+                  compute_dtype=None) -> Dict:
     """Mini-batch neighbor-sampled training step.
 
     dataset="primekg" is the north-star subgraph; "primekg-full" is BASELINE
@@ -176,7 +177,8 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg") -> Dict:
     # adam at this scale is exactly what the multi-chip node-sharded path
     # (bench/pod_scale.py) exists for.
     cfg = ModelConfig(num_nodes=n, num_relations=n_rel,
-                      compute_dtype="bfloat16" if big else "float32")
+                      compute_dtype=compute_dtype
+                      or ("bfloat16" if big else "float32"))
     tcfg = TrainConfig(batch_size=1024)
     if big:
         import optax
@@ -337,6 +339,8 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "primekg-xla": lambda: bench_full_batch(impl="xla"),
     "sampled-15-10": lambda: bench_sampled((15, 10)),
     "sampled-full-15-10": lambda: bench_sampled((15, 10), "primekg-full"),
+    "sampled-full-bf16-15-10": lambda: bench_sampled(
+        (15, 10), "primekg-full", compute_dtype="bfloat16"),
     "sampled-10m-15-10": lambda: bench_sampled((15, 10), "rmat-10m"),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
