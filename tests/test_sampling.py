@@ -310,6 +310,37 @@ def test_sparse_emb_adafactor_table():
                                  fanouts=(5, 4), table_opt="adafactor")
 
 
+def test_sampled_trainer_adafactor_resume(tmp_path):
+    """SampledTrainer with table_opt='adafactor': the tuple opt_state
+    (rest adam state, factored table state) must round-trip through the
+    checkpoint save/resume path."""
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+    from primekg_rgcn_tpu.train.sampled import SampledTrainer
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    tcfg = TrainConfig(batch_size=64, lr=0.05, epochs=2, optimizer="adam",
+                       grad_clip=0.0)
+    t = SampledTrainer(cfg, tcfg, graph, graph, edges, edges[:100],
+                       tmp_path / "out", fanouts=(5, 4), sparse_emb=True,
+                       table_opt="adafactor")
+    hist = t.train()
+    assert len(hist["val_losses"]) == 2
+
+    t2 = SampledTrainer(cfg, tcfg, graph, graph, edges, edges[:100],
+                        tmp_path / "out2", fanouts=(5, 4), sparse_emb=True,
+                        table_opt="adafactor")
+    ck = sorted((tmp_path / "out" / "models").glob("*.msgpack"))
+    assert ck
+    t2.resume(str(ck[-1])[:-len(".msgpack")])
+    # Factored table state restored with its structure intact.
+    leaves = jax.tree_util.tree_leaves(t2.state.opt_state[1])
+    assert any(getattr(lf, "shape", None) == (cfg.num_nodes,)
+               for lf in leaves)
+
+
 def test_combined_uniform_is_unbiased_estimate():
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
 
