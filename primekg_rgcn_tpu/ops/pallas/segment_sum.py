@@ -468,6 +468,12 @@ def dense_sorted_segment_sum(
     Returns [N, D] float32.
     """
     ln, d_dim = msg.shape
+    if ln == 0:
+        # An empty row stream yields n_chunks == 0, which would clamp the
+        # pair schedule's chunk indices to -1 and drive the BlockSpec index
+        # map with a negative block index. Unreachable from the frontier
+        # streams (never empty) but required for standalone use.
+        return jnp.zeros((num_segments, d_dim), jnp.float32)
     if d_dim % 64:
         # Lane-pad narrow features (test-size dims); production dims are
         # already 64-multiples.

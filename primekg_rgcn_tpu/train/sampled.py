@@ -871,8 +871,18 @@ def build_sampled_train_step_zero3(
             loss_sum, correct, count = bce_stats(scores, labels, weights)
             return loss_sum, (correct, count)
 
+        # Differentiate w.r.t. a dp-VARYING view of the slice (like rest_v):
+        # inside loss_sums everything then carries identical (dp, data)
+        # varying-manual-axes, so every custom-VJP backward (dedup_gather,
+        # the sharded row fetch) returns cotangents whose vma matches its
+        # primal — required by strict vma checking. The pcast happens
+        # OUTSIDE the grad, so g_emb stays the per-dp-replica partial
+        # gradient and the explicit dp psum below remains the (single)
+        # cross-pod reduction.
+        emb_in = emb_loc if not dp_axis else jax.lax.pcast(
+            emb_loc, dp_axis, to="varying")
         (loss_sum, (correct, count)), (g_emb, g_rest) = jax.value_and_grad(
-            loss_sums, argnums=(0, 1), has_aux=True)(emb_loc, rest_v)
+            loss_sums, argnums=(0, 1), has_aux=True)(emb_in, rest_v)
         from jax.flatten_util import ravel_pytree
 
         trio = jax.lax.psum(jnp.stack([loss_sum, correct, count]), axes)
@@ -1044,6 +1054,15 @@ class SampledTrainer:
             raise ValueError(
                 "--sparse_emb is the single-chip memory mode; the "
                 "multi-device analogue is --zero3 (sharded table)")
+        if table_opt != "sgd" and multi and not zero3:
+            # Above the single/multi split so a requested table optimizer
+            # can never be silently ignored by a sharded layout that
+            # carries its own update rule (zero1/dp train the dense
+            # optimizer; only zero3 supports per-slice table optimizers).
+            raise ValueError(
+                "--table_opt with a multi-device mesh requires --zero3 "
+                "(per-slice factored stats); --zero1/--dp layouts train "
+                "the dense optimizer and would ignore it")
         if dp_pods and dp_pods > 1 and not zero3:
             raise ValueError("--dp_pods requires --zero3")
         # Resolve the pick layout ONCE; every builder (train step, sampled

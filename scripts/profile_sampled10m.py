@@ -110,7 +110,12 @@ def main():
         timed(lambda: int(asort_j(raw)[0]), label="argsort (unstable)")
         timed(lambda: int(asort_st_j(raw)[0]), label="argsort (stable)")
 
-    if "picks" in stages:
+    if "picks" in stages and not csr.packed.shape[0]:
+        # Small --scale builds auto-disable the slim/packed layout (the fat
+        # table fits), leaving csr.packed the empty (0, 2) array — a gather
+        # over it would be garbage, so the stage is meaningless here.
+        print("picks: skipped (packed CSR disabled at this scale)")
+    elif "picks" in stages:
         # Pick-phase gathers in isolation (packed layout: ONE row gather).
         front = jnp.asarray(
             rng.integers(0, n, raw1).astype(np.int32))
