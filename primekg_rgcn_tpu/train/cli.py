@@ -92,10 +92,12 @@ def parse_args(argv=None):
                         "[N, D] table gradient ever materializes")
     p.add_argument("--table_opt", choices=["sgd", "adafactor"],
                    default="sgd",
-                   help="with --sparse_emb: the embedding-TABLE update "
-                        "rule. adafactor = factored-second-moment "
-                        "adaptive updates ([N]+[D] state, ~40 MB at 10M "
-                        "nodes vs dense adam's 7.7 GB) — single-chip "
+                   help="with --sparse_emb (single chip) or --zero3 (any "
+                        "mesh): the embedding-TABLE update rule. adafactor "
+                        "= factored-second-moment adaptive updates "
+                        "([N]+[D] state, ~40 MB at 10M nodes vs dense "
+                        "adam's 7.7 GB; per-slice [N/n]+[D] under --zero3 "
+                        "with mesh-size-invariant cross-slice stats) — "
                         "adaptive training at scales where adam cannot "
                         "fit; the rest params are then free to use "
                         "--optimizer adam")

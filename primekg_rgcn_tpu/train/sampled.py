@@ -720,6 +720,62 @@ def _make_sharded_row_fetch(axis_name: str, n_dev: int):
     return fetch
 
 
+def factored_slice_init(n_loc: int, d: int):
+    """Per-slice state for :func:`factored_slice_update` (zeros, step 0)."""
+    return {"v_row": jnp.zeros((d,), jnp.float32),
+            "v_col": jnp.zeros((n_loc,), jnp.float32),
+            "count": jnp.zeros((), jnp.int32)}
+
+
+def factored_slice_update(g, state, *, axis_name, row_valid, n_valid, lr,
+                          decay_rate=0.8, eps=1e-30, clip_threshold=1.0):
+    """Adafactor update of one row-slice of a sharded [N, D] table.
+
+    Mesh-size-INVARIANT: the two statistics that couple rows across slices
+    — the [D] column second moment (optax calls it ``v_row``: the mean of
+    ``g**2 + eps`` over all N rows) and the block-RMS update clip — are
+    computed with one [D] psum and one scalar psum over ``axis_name``, so
+    applying this to every slice of a row-sharded table equals
+    ``optax.adafactor(learning_rate=lr, min_dim_size_to_factor=2,
+    multiply_by_parameter_scale=False)`` on the UNPADDED dense [N, D]
+    table (up to float reduction order), for any slicing. That keeps the
+    zero3 layouts' "flat (n,) == hierarchical (dp, tp)" bit-compatibility
+    and makes --table_opt adafactor mean the same rule on one chip
+    (train/sampled.py single-chip path) and on a pod.
+
+    Per-slice state (see :func:`factored_slice_init`): ``v_row`` [D]
+    (identical on every slice), ``v_col`` [n_loc] (this slice's per-row
+    stat), ``count`` scalar. Memory O(N/n + D) vs adam's 2 table-sized
+    moments — the reason adafactor exists (Shazeer & Stern 2018).
+
+    ``row_valid`` float32[n_loc] masks the padded tail rows of the last
+    slice out of every cross-row statistic and out of the update;
+    ``n_valid`` is the TRUE row count N (not n_tp * n_loc).
+    """
+    g = g.astype(jnp.float32)
+    # optax._src.factorized._decay_rate_pow(count): t = count + 1.
+    t = (state["count"] + 1).astype(jnp.float32)
+    decay = 1.0 - t ** (-decay_rate)
+    gsq = jnp.square(g) + eps                            # [n_loc, D]
+    col_stat_sum = jax.lax.psum(
+        jnp.sum(gsq * row_valid[:, None], axis=0), axis_name)
+    new_v_row = decay * state["v_row"] + (1.0 - decay) * (
+        col_stat_sum / n_valid)                          # [D], global
+    new_v_col = decay * state["v_col"] + (1.0 - decay) * jnp.mean(
+        gsq, axis=1)                                     # [n_loc], local
+    row_col_mean = jnp.mean(new_v_row)                   # scalar over D
+    row_factor = (new_v_row / row_col_mean) ** -0.5      # [D]
+    col_factor = new_v_col ** -0.5                       # [n_loc]
+    u = g * row_factor[None, :] * col_factor[:, None] * row_valid[:, None]
+    # optax clip_by_block_rms over the whole (virtual) table.
+    ms = jax.lax.psum(jnp.sum(jnp.square(u)), axis_name) / (
+        n_valid * g.shape[1])
+    u = u / jnp.maximum(1.0, jnp.sqrt(ms) / clip_threshold)
+    new_state = {"v_row": new_v_row, "v_col": new_v_col,
+                 "count": state["count"] + 1}
+    return -lr * u, new_state
+
+
 def build_sampled_train_step_zero3(
     csr,
     model_cfg: ModelConfig,
@@ -731,6 +787,7 @@ def build_sampled_train_step_zero3(
     layout: str = "auto",
     axis_name: str = "data",
     dp_axis: str = None,
+    table_opt: str = "sgd",
 ):
     """Fully-sharded embedding table ("ZeRO-3" for the 97%-of-params leaf).
 
@@ -768,6 +825,14 @@ def build_sampled_train_step_zero3(
     leaves — the scaling-book recipe of keeping fat collectives on ICI.
     Bit-compatible with the flat layout: an (n_dp, n_tp) mesh reproduces a
     flat n_dp*n_tp run up to reduction order.
+
+    ``table_opt="adafactor"`` swaps the table slices' dense-adam update
+    for :func:`factored_slice_update` — per-slice factored second moments
+    ([N/n] + [D] state instead of two table-sized moments), with the
+    cross-slice stats psum'd so the rule equals dense adafactor on the
+    full table for ANY mesh shape. Cuts zero3's optimizer memory from
+    2 x O(N/n * D) to O(N/n + D) and matches the single-chip
+    ``--sparse_emb --table_opt adafactor`` rule exactly.
     """
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -779,6 +844,17 @@ def build_sampled_train_step_zero3(
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     inner = make_optimizer(train_cfg, include_clip=False)
+    if table_opt not in ("sgd", "adafactor"):
+        raise ValueError(f"unknown table_opt {table_opt!r}")
+    table_factored = table_opt == "adafactor"
+    if table_factored and train_cfg.grad_clip:
+        # Same restriction as the single-chip --table_opt path: the
+        # factored rule has its own block-RMS update clip; composing it
+        # with a global-norm gradient clip would train a different rule
+        # than the qualified single-chip one.
+        raise ValueError(
+            "--table_opt adafactor cannot honor global-norm grad_clip; "
+            "disable --grad_clip")
     n_tp = int(mesh.shape[axis_name])
     n_dp = int(mesh.shape[dp_axis]) if dp_axis else 1
     n_dev = n_dp * n_tp
@@ -808,7 +884,8 @@ def build_sampled_train_step_zero3(
         emb, rest = _split_emb(params)
         rest_state = inner.init(rest)
         slice_zero = jnp.zeros((n_loc, emb.shape[1]), emb.dtype)
-        one = inner.init(slice_zero)
+        one = (factored_slice_init(n_loc, int(emb.shape[1]))
+               if table_factored else inner.init(slice_zero))
         emb_state = jax.tree_util.tree_map(
             lambda a: (jnp.broadcast_to(a, (n_tp,) + a.shape)
                        if getattr(a, "ndim", None) is not None and a.ndim
@@ -909,8 +986,16 @@ def build_sampled_train_step_zero3(
             g_emb = g_emb * scale
             g_rest = jax.tree_util.tree_map(lambda g: g * scale, g_rest)
 
-        upd_slice, emb_state_loc = inner.update(g_emb, emb_state_loc,
-                                                emb_loc)
+        if table_factored:
+            row_valid = ((off + jnp.arange(n_loc)) < n_nodes).astype(
+                jnp.float32)
+            upd_slice, emb_state_loc = factored_slice_update(
+                g_emb, emb_state_loc, axis_name=axis_name,
+                row_valid=row_valid, n_valid=n_nodes, lr=train_cfg.lr)
+            upd_slice = upd_slice.astype(emb_loc.dtype)
+        else:
+            upd_slice, emb_state_loc = inner.update(g_emb, emb_state_loc,
+                                                    emb_loc)
         new_loc = optax.apply_updates(emb_loc, upd_slice)
 
         upd_rest, rest_state = inner.update(g_rest, rest_state, rest)
@@ -1089,7 +1174,7 @@ class SampledTrainer:
                 (init_state, self.step_fn, to_full,
                  to_sharded) = build_sampled_train_step_zero3(
                     csr_like, model_cfg, train_cfg, mesh, fanouts=fanouts,
-                    mode=mode, **dp_kw)
+                    mode=mode, table_opt=table_opt, **dp_kw)
                 self.state = init_state(params)
                 self._zero3 = True
 

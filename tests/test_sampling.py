@@ -953,3 +953,140 @@ def test_sharding_flags_do_not_degrade_silently(tmp_path):
             make(sparse_emb=True, n_devices=len(jax.devices()),
                  tcfg=TrainConfig(batch_size=32, lr=1e-2, epochs=1,
                                   optimizer="sgd", grad_clip=0.0))
+
+
+def test_factored_slice_update_matches_dense_optax():
+    """The zero3 per-slice adafactor rule (factored_slice_update) must
+    equal optax.adafactor on the dense UNPADDED table for any row slicing:
+    the [D] column stat and the block-RMS clip are psum'd across slices,
+    pad rows are masked out of every statistic."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from functools import partial
+
+    import optax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.sampled import (
+        factored_slice_init, factored_slice_update)
+
+    n, d, n_tp, lr = 90, 8, 8, 1e-2
+    n_loc = -(-n // n_tp)                     # 12, pad 6 rows
+    mesh = make_mesh(n_tp)
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.normal(0, 0.1, (n, d)).astype(np.float32))
+
+    dense_tx = optax.adafactor(learning_rate=lr, min_dim_size_to_factor=2,
+                               multiply_by_parameter_scale=False)
+    dense_state = dense_tx.init(table)
+
+    state_dm = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n_tp,) + a.shape),
+        factored_slice_init(n_loc, d))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+             out_specs=(P("data"), P("data")), check_vma=True)
+    def slice_update(g_dm, st_dm):
+        st = jax.tree_util.tree_map(lambda a: a[0], st_dm)
+        my = jax.lax.axis_index("data")
+        row_valid = ((my * n_loc + jnp.arange(n_loc)) < n).astype(
+            jnp.float32)
+        upd, st = factored_slice_update(
+            g_dm[0] if g_dm.ndim == 3 else g_dm, st,
+            axis_name="data", row_valid=row_valid, n_valid=n, lr=lr)
+        return upd, jax.tree_util.tree_map(lambda a: a[None], st)
+
+    sharded_table = table
+    for step in range(3):
+        g = jnp.asarray(rng.normal(0, 1e-3, (n, d)).astype(np.float32))
+        # Grads with structure: zero some rows (like untouched table rows).
+        g = g.at[step::3].set(0.0)
+
+        upd_dense, dense_state = dense_tx.update(g, dense_state, table)
+        table = optax.apply_updates(table, upd_dense)
+
+        g_pad = jnp.concatenate(
+            [g, jnp.zeros((n_tp * n_loc - n, d), jnp.float32)], axis=0)
+        upd_sh, state_dm = slice_update(g_pad, state_dm)
+        sharded_table = sharded_table + upd_sh[:n]
+
+        np.testing.assert_allclose(np.asarray(upd_sh[:n]),
+                                   np.asarray(upd_dense),
+                                   rtol=2e-5, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sharded_table), np.asarray(table),
+                               rtol=2e-5, atol=1e-9)
+
+
+def test_zero3_adafactor_hierarchical_matches_flat():
+    """--table_opt adafactor under zero3: mesh-size-INVARIANT by design
+    (cross-slice stats are psum'd), so the hierarchical (2, 4) mesh must
+    reproduce the flat 8-device run; state is factored [n_loc] + [D]."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh, make_mesh_2d
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step_zero3
+
+    rng = np.random.default_rng(1)
+    n, r, e = 90, 12, 800
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.3)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2, grad_clip=0.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    edges = jnp.asarray(np.stack([src, dst, rel], 1).astype(np.int32))
+
+    init_f, step_f, full_f, _ = build_sampled_train_step_zero3(
+        graph, cfg, tcfg, make_mesh(8), fanouts=(5, 4),
+        table_opt="adafactor")
+    init_h, step_h, full_h, _ = build_sampled_train_step_zero3(
+        graph, cfg, tcfg, make_mesh_2d(2, 4), fanouts=(5, 4), dp_axis="dp",
+        table_opt="adafactor")
+
+    def run(init, step, to_full, n_tp):
+        p0 = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True),
+                                    params)
+        st = init(p0)
+        # Factored state: [n_tp, D] column stat + [n_tp, n_loc] row stat,
+        # NOT two table-sized moments.
+        emb_state = st.opt_state[1]
+        assert emb_state["v_row"].shape == (n_tp, 8)
+        assert emb_state["v_col"].shape[0] == n_tp
+        key = jax.random.PRNGKey(9)
+        for _ in range(4):
+            key, k, kb = jax.random.split(key, 3)
+            bi = jax.random.randint(kb, (64,), 0, e)
+            st, (loss, _) = step(st, edges[bi], k)
+        assert np.isfinite(float(loss))
+        return (to_full(st.params["encoder"]["node_emb"]),
+                st.params["decoder"]["rel_emb"])
+
+    ef, rf = run(init_f, step_f, full_f, 8)
+    eh, rh = run(init_h, step_h, full_h, 4)
+    assert not np.allclose(np.asarray(ef), np.asarray(params["encoder"]
+                                                      ["node_emb"]))
+    np.testing.assert_allclose(np.asarray(ef), np.asarray(eh),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(rf), np.asarray(rh),
+                               rtol=3e-5, atol=3e-6)
+
+
+def test_zero3_table_opt_validation():
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step_zero3
+
+    graph, cfg, params, csr, _ = _setup(e=300)
+    with pytest.raises(ValueError, match="grad_clip"):
+        build_sampled_train_step_zero3(
+            graph, cfg, TrainConfig(batch_size=64, grad_clip=1.0),
+            make_mesh(8), fanouts=(4, 3), table_opt="adafactor")
+    with pytest.raises(ValueError, match="table_opt"):
+        build_sampled_train_step_zero3(
+            graph, cfg, TrainConfig(batch_size=64, grad_clip=0.0),
+            make_mesh(8), fanouts=(4, 3), table_opt="rmsprop")
