@@ -188,20 +188,23 @@ def build_sampled_train_step(
         # Explicit lr, no parameter-scale multiplier: Xavier-over-N init
         # puts table rows at ~1/sqrt(N) RMS (4e-4 at 10M nodes), so the
         # relative-step default would shrink updates right back to the
-        # SGD scale the adaptive rule exists to escape. Factor threshold 2
-        # so the [N, 64] table factors (default 128 would keep a dense v).
-        table_tx = optax.adafactor(learning_rate=train_cfg.lr,
-                                   min_dim_size_to_factor=2,
-                                   multiply_by_parameter_scale=False)
+        # SGD scale the adaptive rule exists to escape. The rule (see
+        # factored_rows_update / factored_slice_update) is exactly
+        # optax.adafactor(lr, min_dim_size_to_factor=2,
+        # multiply_by_parameter_scale=False) on the dense gradient, but
+        # applied from the sparse row gradient at any frontier coverage.
+        table_factored = True
     elif table_opt == "sgd":
-        table_tx = None
+        table_factored = False
     else:
         raise ValueError(f"unknown table_opt {table_opt!r}")
 
     def init_state(params) -> TrainState:
-        if table_tx is not None:
+        if table_factored:
             emb, rest = _split_emb(params)
-            opt_state = (optimizer.init(rest), table_tx.init(emb))
+            opt_state = (optimizer.init(rest),
+                         factored_slice_init(int(emb.shape[0]),
+                                             int(emb.shape[1])))
         else:
             opt_state = optimizer.init(params)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
@@ -249,22 +252,24 @@ def build_sampled_train_step(
 
         (loss, acc), (g_rows, g_rest) = jax.value_and_grad(
             loss_from_rows, argnums=(0, 1), has_aux=True)(rows, rest)
-        rest_state = state.opt_state[0] if table_tx is not None \
+        rest_state = state.opt_state[0] if table_factored \
             else state.opt_state
         updates, rest_state = optimizer.update(g_rest, rest_state, rest)
         rest = optax.apply_updates(rest, updates)
-        if table_tx is not None:
-            if not ident0:
-                raise ValueError(
-                    "table_opt='adafactor' needs the identity innermost "
-                    "block (factored stats want the dense [N, D] "
-                    "gradient); this batch/fanout configuration covers "
-                    f"under {100 * 0.5:.0f}% of the node space — raise "
-                    "batch/fanouts, or use table_opt='sgd' / the dense "
-                    "trainer at this scale.")
-            tupd, table_state = table_tx.update(
-                g_rows.astype(jnp.float32), state.opt_state[1], emb_table)
-            emb_table = optax.apply_updates(emb_table, tupd)
+        if table_factored:
+            if ident0:
+                # Saturated frontier: g_rows IS the dense [N, D] gradient.
+                tupd, table_state = factored_slice_update(
+                    g_rows, state.opt_state[1], axis_name=None,
+                    row_valid=jnp.ones((n,), jnp.float32), n_valid=n,
+                    lr=train_cfg.lr)
+                emb_table = emb_table + tupd.astype(emb_table.dtype)
+            else:
+                # Sparse row gradient: exact factored update at any
+                # frontier coverage (see factored_rows_update).
+                emb_table, table_state = factored_rows_update(
+                    g_rows, batch.frontier, emb_table,
+                    state.opt_state[1], lr=train_cfg.lr)
             opt_state = (rest_state, table_state)
         elif ident0:
             emb_table = emb_table - (train_cfg.lr * g_rows).astype(
@@ -751,14 +756,20 @@ def factored_slice_update(g, state, *, axis_name, row_valid, n_valid, lr,
     ``row_valid`` float32[n_loc] masks the padded tail rows of the last
     slice out of every cross-row statistic and out of the update;
     ``n_valid`` is the TRUE row count N (not n_tp * n_loc).
+
+    ``axis_name=None`` is the single-device (unsharded) form: the slice is
+    the whole table and the psums degenerate to local sums — used by the
+    sparse single-chip path's saturated-frontier (identity) batches so one
+    rule/state serves every layout.
     """
+    psum = (lambda x: x) if axis_name is None else (
+        lambda x: jax.lax.psum(x, axis_name))
     g = g.astype(jnp.float32)
     # optax._src.factorized._decay_rate_pow(count): t = count + 1.
     t = (state["count"] + 1).astype(jnp.float32)
     decay = 1.0 - t ** (-decay_rate)
     gsq = jnp.square(g) + eps                            # [n_loc, D]
-    col_stat_sum = jax.lax.psum(
-        jnp.sum(gsq * row_valid[:, None], axis=0), axis_name)
+    col_stat_sum = psum(jnp.sum(gsq * row_valid[:, None], axis=0))
     new_v_row = decay * state["v_row"] + (1.0 - decay) * (
         col_stat_sum / n_valid)                          # [D], global
     new_v_col = decay * state["v_col"] + (1.0 - decay) * jnp.mean(
@@ -768,12 +779,68 @@ def factored_slice_update(g, state, *, axis_name, row_valid, n_valid, lr,
     col_factor = new_v_col ** -0.5                       # [n_loc]
     u = g * row_factor[None, :] * col_factor[:, None] * row_valid[:, None]
     # optax clip_by_block_rms over the whole (virtual) table.
-    ms = jax.lax.psum(jnp.sum(jnp.square(u)), axis_name) / (
-        n_valid * g.shape[1])
+    ms = psum(jnp.sum(jnp.square(u))) / (n_valid * g.shape[1])
     u = u / jnp.maximum(1.0, jnp.sqrt(ms) / clip_threshold)
     new_state = {"v_row": new_v_row, "v_col": new_v_col,
                  "count": state["count"] + 1}
     return -lr * u, new_state
+
+
+def factored_rows_update(g_rows, frontier, table, state, *, lr,
+                         decay_rate=0.8, eps=1e-30, clip_threshold=1.0):
+    """Adafactor update of a table from a SPARSE row gradient — exact.
+
+    The factored second-moment statistics are fully recoverable from the
+    touched rows alone, because every untouched row's squared gradient is
+    exactly ``eps``:
+
+    - the [D] column stat's dense update ``mean_N(g^2 + eps)`` equals
+      ``(sum_touched(g^2) + N * eps) / N``;
+    - the [N] row stat's dense update is the affine map
+      ``v_col <- decay * v_col + (1 - decay) * eps`` everywhere, plus a
+      ``(1 - decay) * mean_D(g^2)`` scatter-add at the touched rows;
+    - the update itself and its block-RMS are zero outside touched rows.
+
+    So the rule == ``optax.adafactor(lr, min_dim_size_to_factor=2,
+    multiply_by_parameter_scale=False)`` on the dense [N, D] gradient
+    (tested exactly), at O(cap * D + N) cost per step with no dense
+    gradient, update, or [N, D] stat anywhere — this is what lets
+    --table_opt adafactor run at ANY batch/fanout coverage instead of
+    only near-saturated (identity-mode) frontiers.
+
+    Args:
+        g_rows: [cap, D] gradient w.r.t. the gathered frontier rows.
+        frontier: int32[cap] sorted-UNIQUE row ids, fill value == N
+            (sentinel rows' gradients are dropped, as in the SGD path).
+        table: [N, D] the embedding table.
+        state: see :func:`factored_slice_init` (v_col sized [N]).
+
+    Returns ``(new_table, new_state)``.
+    """
+    n, d = table.shape
+    g = g_rows.astype(jnp.float32)
+    valid = (frontier < n)[:, None]
+    g = jnp.where(valid, g, 0.0)
+    t = (state["count"] + 1).astype(jnp.float32)
+    decay = 1.0 - t ** (-decay_rate)
+    gsq = jnp.square(g)                                  # [cap, D]
+    new_v_row = decay * state["v_row"] + (1.0 - decay) * (
+        (jnp.sum(gsq, axis=0) + n * eps) / n)            # [D]
+    new_v_col = decay * state["v_col"] + (1.0 - decay) * eps  # [N] affine
+    new_v_col = new_v_col.at[frontier].add(
+        (1.0 - decay) * jnp.mean(gsq, axis=1), mode="drop")
+    row_col_mean = jnp.mean(new_v_row)
+    row_factor = (new_v_row / row_col_mean) ** -0.5      # [D]
+    col_rows = jnp.take(new_v_col, jnp.minimum(frontier, n - 1)) ** -0.5
+    u = g * row_factor[None, :] * col_rows[:, None]
+    u = jnp.where(valid, u, 0.0)
+    ms = jnp.sum(jnp.square(u)) / (n * d)
+    u = u / jnp.maximum(1.0, jnp.sqrt(ms) / clip_threshold)
+    new_table = table.at[frontier].add((-lr * u).astype(table.dtype),
+                                       mode="drop")
+    new_state = {"v_row": new_v_row, "v_col": new_v_col,
+                 "count": state["count"] + 1}
+    return new_table, new_state
 
 
 def build_sampled_train_step_zero3(

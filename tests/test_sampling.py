@@ -1090,3 +1090,50 @@ def test_zero3_table_opt_validation():
         build_sampled_train_step_zero3(
             graph, cfg, TrainConfig(batch_size=64, grad_clip=0.0),
             make_mesh(8), fanouts=(4, 3), table_opt="rmsprop")
+
+
+def test_factored_rows_update_matches_dense_optax():
+    """Sparse-gradient adafactor (factored_rows_update) == optax.adafactor
+    on the scattered dense gradient, at partial frontier coverage, with
+    sentinel (fill == N) slots carrying garbage gradients that must drop."""
+    import optax
+
+    from primekg_rgcn_tpu.train.sampled import (
+        factored_rows_update, factored_slice_init)
+
+    n, d, cap, lr = 90, 8, 24, 5e-2
+    rng = np.random.default_rng(7)
+    table_s = jnp.asarray(rng.normal(0, 0.1, (n, d)).astype(np.float32))
+    table_d = table_s
+    dense_tx = optax.adafactor(learning_rate=lr, min_dim_size_to_factor=2,
+                               multiply_by_parameter_scale=False)
+    dense_state = dense_tx.init(table_d)
+    state = factored_slice_init(n, d)
+
+    up = jax.jit(lambda g, f, t, s: factored_rows_update(g, f, t, s, lr=lr))
+    for step in range(4):
+        k = 16 + step  # touched-row count varies per step
+        rows = np.sort(rng.choice(n, size=k, replace=False)).astype(np.int32)
+        frontier = np.full(cap, n, np.int32)
+        frontier[:k] = rows
+        g_rows = rng.normal(0, 1e-2, (cap, d)).astype(np.float32)
+        g_rows[k:] = 5.0  # garbage at sentinel slots: must be dropped
+
+        g_dense = jnp.zeros((n, d), jnp.float32).at[jnp.asarray(rows)].set(
+            jnp.asarray(g_rows[:k]))
+        upd_d, dense_state = dense_tx.update(g_dense, dense_state, table_d)
+        table_d = optax.apply_updates(table_d, upd_d)
+
+        table_s, state = up(jnp.asarray(g_rows), jnp.asarray(frontier),
+                            table_s, state)
+
+        np.testing.assert_allclose(np.asarray(table_s), np.asarray(table_d),
+                                   rtol=2e-5, atol=1e-9)
+    # The state stats match the dense run's factored stats too.
+    fs = dense_state[0]  # FactoredState of scale_by_factored_rms
+    np.testing.assert_allclose(np.asarray(state["v_row"]),
+                               np.asarray(jax.tree_util.tree_leaves(
+                                   fs.v_row)[0]), rtol=2e-5, atol=1e-32)
+    np.testing.assert_allclose(np.asarray(state["v_col"]),
+                               np.asarray(jax.tree_util.tree_leaves(
+                                   fs.v_col)[0]), rtol=2e-5, atol=1e-32)
