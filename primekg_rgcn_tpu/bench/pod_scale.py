@@ -135,7 +135,8 @@ def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
 def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
                         n_devices: int = 8, batch_size: int = 1024,
                         emb_dim: int = 64, hidden_dim: int = 128,
-                        fanouts=(15, 10), checkpoint=None) -> dict:
+                        fanouts=(15, 10), table_opt: str = "sgd",
+                        checkpoint=None) -> dict:
     """Config-5 at FULL scale with dense ADAM, executed on the sim mesh.
 
     The node-sharded/zero1 steps at 10M/100M need the pod's total HBM in
@@ -162,9 +163,11 @@ def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
     from primekg_rgcn_tpu.train.sampled import (
         build_sampled_train_step_zero3, resolve_sampler)
 
+    table_factored = table_opt == "adafactor"
     report: dict = {"nodes": num_nodes, "edges": num_edges,
                     "relations": num_relations, "devices": n_devices,
-                    "mode": "sampled-zero3-adam",
+                    "mode": ("sampled-zero3-adafactor" if table_factored
+                             else "sampled-zero3-adam"),
                     "platform": jax.default_backend(),
                     "disclaimer": "simulated mesh on host CPU: capability/"
                                   "memory proof at real scale; step "
@@ -190,7 +193,10 @@ def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
                             num_relations=num_relations,
                             embedding_dim=emb_dim, hidden_dim=hidden_dim,
                             compute_dtype="bfloat16")
-    train_cfg = TrainConfig(batch_size=batch_size)  # default = adam + clip
+    # default = adam + clip for the rest params; the factored table rule
+    # carries its own block-RMS clip and forbids global-norm grad_clip.
+    train_cfg = TrainConfig(batch_size=batch_size,
+                            grad_clip=0.0 if table_factored else 1.0)
 
     t0 = time.time()
     csr, budgets, use_combined = resolve_sampler(graph, fanouts)
@@ -227,7 +233,7 @@ def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
     # silently run a fatter step than the model above describes).
     init_state, step, to_full, _ = build_sampled_train_step_zero3(
         csr, model_cfg, train_cfg, mesh, fanouts=fanouts, layout="combined"
-        if use_combined else "per-relation")
+        if use_combined else "per-relation", table_opt=table_opt)
     params = init_params(jax.random.PRNGKey(0), model_cfg)
     state = init_state(params)
     del params
@@ -299,6 +305,11 @@ def main(argv=None):
                         "instead of the node-sharded full-batch step — "
                         "table-shaped objects stay sliced, so this "
                         "executes at full config-5 scale on this host")
+    p.add_argument("--table_opt", choices=["sgd", "adafactor"],
+                   default="sgd",
+                   help="with --sampled_zero3: 'adafactor' swaps the table "
+                        "slices' dense-adam update for per-slice factored "
+                        "second moments (O(N/n + D) optimizer state)")
     p.add_argument("--tag", default="config5-pod-dryrun",
                    help="results key in the report file")
     p.add_argument("--out", default="bench_report.json")
@@ -324,6 +335,7 @@ def main(argv=None):
                                      args.relations,
                                      n_devices=args.devices,
                                      batch_size=args.batch_size,
+                                     table_opt=args.table_opt,
                                      checkpoint=merge)
     else:
         report = run_pod_scale(args.nodes, args.edges, args.relations,
