@@ -82,3 +82,20 @@ def test_cli_shard_edge(tmp_path):
     lines = [json.loads(x) for x in
              (out / "metrics.jsonl").read_text().splitlines()]
     assert sum(1 for x in lines if x.get("event") == "epoch") == 2
+
+
+@pytest.mark.parametrize("table_opt", ["sgd", "adafactor"])
+def test_pod_scale_zero3_smoke(tmp_path, table_opt):
+    """Scaled-down run of the config-5 zero3 harness (both table rules):
+    the full-scale capability rows in bench_report.json ride this exact
+    code path, so it must stay runnable end-to-end."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from primekg_rgcn_tpu.bench.pod_scale import run_pod_scale_zero3
+
+    report = run_pod_scale_zero3(20_000, 120_000, 10, n_devices=8,
+                                 batch_size=64, table_opt=table_opt,
+                                 fanouts=(5, 4))
+    assert np.isfinite(report["loss"])
+    assert report["mode"] == f"sampled-zero3-{'adafactor' if table_opt == 'adafactor' else 'adam'}"
+    assert report["zero3_comms_model"]["frontier_cap"] > 0
