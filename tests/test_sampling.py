@@ -1137,3 +1137,22 @@ def test_factored_rows_update_matches_dense_optax():
     np.testing.assert_allclose(np.asarray(state["v_col"]),
                                np.asarray(jax.tree_util.tree_leaves(
                                    fs.v_col)[0]), rtol=2e-5, atol=1e-32)
+
+
+def test_full_fanout_truncate_equals_full_graph_basis():
+    """Basis-decomposition weights (num_bases < R) flow through the sampled
+    block aggregation via the same materialize_fn as the full-graph layer:
+    truncate mode at max fanout must still reproduce the full encode."""
+    graph, _, _, csr, max_deg = _setup()
+    cfg = ModelConfig(num_nodes=60, num_relations=3, embedding_dim=8,
+                      hidden_dim=8, dropout=0.0, num_bases=2)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    assert "basis" in params["encoder"]["conv1"]
+    seeds = jnp.asarray(np.arange(20, dtype=np.int32))
+    batch = sample_batch(jax.random.PRNGKey(0), csr, seeds,
+                         fanouts=[max_deg, max_deg], mode="truncate")
+    out_sampled = encoder_apply_sampled(params, batch, cfg)
+    out_full = encoder_apply(params, graph, cfg)
+    np.testing.assert_allclose(np.asarray(out_sampled),
+                               np.asarray(out_full)[:20],
+                               rtol=1e-4, atol=1e-5)
