@@ -45,8 +45,22 @@ def main():
                          "optimizer actually learns at this scale. (A full "
                          "epoch is 97K steps = ~16 h/chip; genuine "
                          "convergence at config 5 is the pod layouts' job.)")
+    ap.add_argument("--fanouts", type=int, nargs=2, default=(15, 10),
+                    help="per-layer sample budgets (outermost first). The "
+                         "combined layout's importance weights keep the "
+                         "per-relation-mean estimator unbiased at ANY "
+                         "budget, so smaller budgets trade estimator "
+                         "variance for step time — the step is ~70% "
+                         "row-fetch floor, so time scales ~linearly with "
+                         "the budget product (docs/KERNELS.md Round 3/4).")
+    ap.add_argument("--eval_fanouts", type=int, nargs=2, default=None,
+                    help="budgets for the held-out eval encode (default: "
+                         "same as --fanouts). For a budget sweep, pin these "
+                         "so quality comparisons share one eval estimator.")
     ap.add_argument("--out", default="results/convergence10m.json")
     args = ap.parse_args()
+    fanouts = tuple(args.fanouts)
+    eval_fanouts = tuple(args.eval_fanouts or fanouts)
 
     import jax
     import jax.numpy as jnp
@@ -91,13 +105,13 @@ def main():
     params = init_params(jax.random.PRNGKey(0), cfg)
     # ONE shared CSR: train and eval builders each resolving their own
     # would hold two 880 MB copies on the chip (measured OOM).
-    csr, _, _ = resolve_sampler(graph, (15, 10))
+    csr, _, _ = resolve_sampler(graph, fanouts)
     del g, src, dst, rel, graph
     step_fn = build_sampled_train_step(csr, cfg, tcfg, opt,
-                                       fanouts=(15, 10), sparse_emb=True,
+                                       fanouts=fanouts, sparse_emb=True,
                                        table_opt=args.table_opt)
     eval_fn = build_sampled_eval_epoch(csr, val_edges, cfg, tcfg,
-                                       fanouts=(15, 10))
+                                       fanouts=eval_fanouts)
 
     state = step_fn.init_state(params)
     key = jax.random.PRNGKey(2)
@@ -131,7 +145,8 @@ def main():
 
     out = {
         "config": {"nodes": n, "edges": e, "relations": r,
-                   "batch_size": tcfg.batch_size, "fanouts": [15, 10],
+                   "batch_size": tcfg.batch_size, "fanouts": list(fanouts),
+                   "eval_fanouts": list(eval_fanouts),
                    "compute_dtype": "bfloat16",
                    "table_opt": args.table_opt,
                    "rest_opt": "adam(1e-3)"
