@@ -953,6 +953,13 @@ def test_sharding_flags_do_not_degrade_silently(tmp_path):
             make(sparse_emb=True, n_devices=len(jax.devices()),
                  tcfg=TrainConfig(batch_size=32, lr=1e-2, epochs=1,
                                   optimizer="sgd", grad_clip=0.0))
+        # table_opt on a sharded layout that carries its own update rule
+        # (zero1/dp) must error, not silently train the dense rule.
+        with pytest.raises(ValueError, match="table_opt"):
+            make(zero1=True, table_opt="adafactor",
+                 n_devices=len(jax.devices()),
+                 tcfg=TrainConfig(batch_size=32, lr=1e-2, epochs=1,
+                                  grad_clip=0.0))
 
 
 def test_factored_slice_update_matches_dense_optax():
