@@ -291,7 +291,40 @@ def build_sampled_train_step(
     def step(state: TrainState, pos_edges, key):
         return inner(state, pos_edges, key, csr_arrays)
 
+    # K steps per dispatch: on the hosted TPU frontend each jit call costs
+    # ~15-30 ms of dispatch + fetch latency (docs/KERNELS.md "hosted-backend
+    # pathologies"), which at reference scale is ~30% of the 84 ms step.
+    # lax.scan over K batches amortizes that to one dispatch per chunk.
+    # RNG parity: chunk_keys() reproduces the trainer's exact per-step
+    # ``key, k = split(key)`` chain, so chunked and per-step runs are
+    # bit-identical (tested).
+    @partial(jax.jit, donate_argnums=(0,))
+    def _chunk(state: TrainState, pos_chunks, keys, csr_arrays):
+        def body(s, bk):
+            s2, stats = inner(s, bk[0], bk[1], csr_arrays)
+            return s2, stats
+
+        return jax.lax.scan(body, state, (pos_chunks, keys))
+
+    @partial(jax.jit, static_argnums=(1,))
+    def chunk_keys(key, k_steps: int):
+        def body(k, _):
+            k2, sub = jax.random.split(k)
+            return k2, sub
+
+        return jax.lax.scan(body, key, None, length=k_steps)
+
+    def chunk(state: TrainState, pos_chunks, keys):
+        """Run ``pos_chunks.shape[0]`` steps in one dispatch.
+
+        pos_chunks: int32[K, B, 3]; keys: uint32[K, 2] from chunk_keys.
+        Returns (state, (losses [K], accs [K])).
+        """
+        return _chunk(state, pos_chunks, keys, csr_arrays)
+
     step.init_state = init_state
+    step.chunk = chunk
+    step.chunk_keys = chunk_keys
     return step
 
 
@@ -1195,6 +1228,10 @@ class SampledTrainer:
         self._to_sharded_params = lambda p: p
         self._zero3 = False
         multi = bool(n_devices and n_devices > 1)
+        self._multi = multi
+        # Steps fused per dispatch on a single device (lax.scan chunk);
+        # train_cfg.steps_per_scan overrides, 0 = the measured default.
+        self._chunk_steps = getattr(train_cfg, "steps_per_scan", 0) or 32
         # Sharding flags must not degrade silently: a user asking for a
         # sharded optimizer on a 1-device run would otherwise train a
         # different program than requested.
@@ -1376,15 +1413,36 @@ class SampledTrainer:
             t0 = time.time()
             perm = rng.permutation(n)
             losses = []
-            for s in range(steps):
+            chunk = None if self._multi else getattr(
+                self.step_fn, "chunk", None)
+            n_full = n // b  # chunks need whole batches; remainder pads
+            k_chunk = min(self._chunk_steps, n_full) if chunk else 0
+            s = 0
+            if k_chunk > 1:
+                # Single device: scan K steps per dispatch — per-step jit
+                # calls pay ~15-30 ms of hosted-frontend dispatch + fetch
+                # each (measured 138 -> 97 s/epoch at reference scale).
+                # chunk_keys reproduces the per-step split chain exactly,
+                # so the RNG stream (and thus every loss) is bit-identical
+                # to the unchunked loop.
+                while s + k_chunk <= n_full:
+                    idx = perm[s * b:(s + k_chunk) * b]
+                    self.key, ks = self.step_fn.chunk_keys(self.key,
+                                                           k_chunk)
+                    self.state, (ls, _) = chunk(
+                        self.state,
+                        jnp.asarray(self.train_edges[idx]).reshape(
+                            k_chunk, b, -1), ks)
+                    losses.extend(np.asarray(ls).tolist())
+                    s += k_chunk
+            for s in range(s, steps):
                 idx = perm[s * b:(s + 1) * b]
                 if len(idx) < b:  # pad by wrapping (sampled mode tolerates)
                     idx = np.concatenate([idx, perm[: b - len(idx)]])
                 self.key, k = jax.random.split(self.key)
                 self.state, (loss, acc) = self.step_fn(
                     self.state, jnp.asarray(self.train_edges[idx]), k)
-                # Fetch eagerly: keeping device refs pipelines every step's
-                # program, and in DP mode a deep queue of 8-participant
+                # Fetch eagerly: in DP mode a deep queue of 8-participant
                 # collectives on an oversubscribed host trips XLA's 40 s
                 # rendezvous termination (observed on the 4-core CI host).
                 losses.append(float(loss))

@@ -1163,3 +1163,47 @@ def test_full_fanout_truncate_equals_full_graph_basis():
     np.testing.assert_allclose(np.asarray(out_sampled),
                                np.asarray(out_full)[:20],
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("sparse_emb,table_opt", [(False, "sgd"),
+                                                  (True, "adafactor")])
+def test_chunked_scan_matches_per_step(sparse_emb, table_opt):
+    """step.chunk (lax.scan over K steps, one dispatch) is bit-identical to
+    K sequential step() calls: chunk_keys reproduces the trainer's exact
+    ``key, k = split(key)`` chain, so losses and final params match."""
+    import jax.tree_util as jtu
+
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.loop import make_optimizer
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
+
+    graph, cfg, params, _, _ = _setup()
+    tc = TrainConfig(epochs=1, batch_size=16, lr=0.01,
+                     optimizer="sgd" if table_opt == "sgd" else "adam",
+                     grad_clip=0.0, weight_decay=0.0)
+    step = build_sampled_train_step(graph, cfg, tc, make_optimizer(tc),
+                                    fanouts=(4, 3), sparse_emb=sparse_emb,
+                                    table_opt=table_opt)
+    rng = np.random.default_rng(0)
+    edges = np.stack([rng.integers(0, 60, 96), rng.integers(0, 60, 96),
+                      rng.integers(0, 3, 96)], 1).astype(np.int32)
+    copy = lambda p: jtu.tree_map(lambda x: jnp.array(x, copy=True), p)
+
+    key = jax.random.PRNGKey(7)
+    st = step.init_state(copy(params))
+    losses = []
+    for s in range(6):
+        key, k = jax.random.split(key)
+        st, (loss, _) = step(st, jnp.asarray(edges[s * 16:(s + 1) * 16]), k)
+        losses.append(float(loss))
+
+    key2 = jax.random.PRNGKey(7)
+    st2 = step.init_state(copy(params))
+    key2, ks = step.chunk_keys(key2, 6)
+    st2, (ls, _) = step.chunk(st2, jnp.asarray(edges).reshape(6, 16, 3), ks)
+
+    assert bool(jnp.all(key == key2))
+    np.testing.assert_array_equal(np.asarray(ls), np.asarray(losses,
+                                                             np.float32))
+    for a, b in zip(jtu.tree_leaves(st.params), jtu.tree_leaves(st2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
