@@ -1207,3 +1207,30 @@ def test_chunked_scan_matches_per_step(sparse_emb, table_opt):
                                                              np.float32))
     for a, b in zip(jtu.tree_leaves(st.params), jtu.tree_leaves(st2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_chunking_matches_per_step(tmp_path):
+    """SampledTrainer.train() with scan chunking (default) reproduces the
+    per-step loop's exact history — including the remainder steps past the
+    last whole chunk and the wrap-padded final partial batch."""
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.train.sampled import SampledTrainer
+
+    graph, cfg, _, _, _ = _setup(e=500)
+    from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
+
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)[:210]  # 4 batches
+    # steps_per_scan=1 disables chunking; =2 chunks 3 whole batches into one
+    # scan pair + 1 whole remainder + the partial wrap-padded batch.
+    hists = []
+    for k in (1, 2):
+        tcfg = TrainConfig(batch_size=64, lr=1e-3, epochs=2,
+                           steps_per_scan=k)
+        t = SampledTrainer(cfg, tcfg, graph, graph, edges, edges[:64],
+                           tmp_path / f"out{k}", fanouts=(4, 3))
+        hists.append(t.train())
+    np.testing.assert_array_equal(hists[0]["train_losses"],
+                                  hists[1]["train_losses"])
+    np.testing.assert_array_equal(hists[0]["val_losses"],
+                                  hists[1]["val_losses"])
