@@ -56,7 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_scale", type=float, default=1.0)
     p.add_argument("--steps_per_scan", type=int, default=0,
                    help="split each epoch into jitted scan segments of this "
-                        "many optimizer updates (0 = whole epoch fused)")
+                        "many optimizer updates (0 = whole epoch fused); "
+                        "with --sample_fanouts on one device: steps fused "
+                        "per dispatch (0 = default 32)")
     p.add_argument("--sample_fanouts", type=int, nargs="+", default=None,
                    help="enable neighbor-sampled mini-batch training with "
                         "these per-relation fanouts, outermost layer first "
