@@ -57,9 +57,24 @@ def main():
                     help="budgets for the held-out eval encode (default: "
                          "same as --fanouts). For a budget sweep, pin these "
                          "so quality comparisons share one eval estimator.")
+    ap.add_argument("--sweep", type=int, nargs="+", default=None,
+                    help="flat list of budget pairs (e.g. --sweep 15 10 8 "
+                         "6 5 4) to run as one in-process sweep sharing "
+                         "the ~5-min graph+CSR build; each config re-inits "
+                         "params and trains --steps steps; --eval_fanouts "
+                         "(default: the first pair) pins one shared eval "
+                         "estimator. Writes a {budgets: result} map.")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="scale factor on the 10M/100M graph (smoke-test "
+                         "the sweep at e.g. 0.01 before burning chip time)")
     ap.add_argument("--out", default="results/convergence10m.json")
     args = ap.parse_args()
-    fanouts = tuple(args.fanouts)
+    if args.sweep and len(args.sweep) % 2:
+        ap.error("--sweep takes flat PAIRS of budgets")
+    sweep = [tuple(args.sweep[i:i + 2])
+             for i in range(0, len(args.sweep or []), 2)] or \
+        [tuple(args.fanouts)]
+    fanouts = sweep[0]
     eval_fanouts = tuple(args.eval_fanouts or fanouts)
 
     import jax
@@ -76,6 +91,8 @@ def main():
 
     print("platform:", jax.devices()[0].platform, flush=True)
     n, e, r = 10_000_000, 100_000_000, 50
+    if args.scale != 1.0:
+        n, e = int(n * args.scale), int(e * args.scale)
     t0 = time.perf_counter()
     g = native.rmat_native(n, e, r, seed=0) or rmat(n, e, r, seed=0)
     src, dst, rel = g["src"], g["dst"], g["rel"]
@@ -98,71 +115,82 @@ def main():
     cfg = ModelConfig(num_nodes=n, num_relations=r,
                       compute_dtype="bfloat16")
     tcfg = TrainConfig(batch_size=1024, lr=args.lr)
-    # With an adaptive table rule there is no dense-step-parity constraint
-    # on the rest params, so they get adam (the reference's optimizer).
-    opt = optax.adam(1e-3) if args.table_opt == "adafactor" \
-        else optax.sgd(tcfg.lr)
-    params = init_params(jax.random.PRNGKey(0), cfg)
     # ONE shared CSR: train and eval builders each resolving their own
-    # would hold two 880 MB copies on the chip (measured OOM).
+    # would hold two 880 MB copies on the chip (measured OOM). The combined
+    # CSR is budget-independent, so a --sweep shares it across configs.
     csr, _, _ = resolve_sampler(graph, fanouts)
     del g, src, dst, rel, graph
-    step_fn = build_sampled_train_step(csr, cfg, tcfg, opt,
-                                       fanouts=fanouts, sparse_emb=True,
-                                       table_opt=args.table_opt)
-    eval_fn = build_sampled_eval_epoch(csr, val_edges, cfg, tcfg,
-                                       fanouts=eval_fanouts)
 
-    state = step_fn.init_state(params)
-    key = jax.random.PRNGKey(2)
-    ek = jax.random.PRNGKey(3)
-
-    v0_loss, v0_acc = (float(x) for x in eval_fn(state.params, ek))
-    print(f"eval@0: loss {v0_loss:.4f} acc {v0_acc:.4f}", flush=True)
-
-    batch_rng = np.random.default_rng(0)
+    batch_rng0 = np.random.default_rng(0)
     if args.train_pool:
-        pool = batch_rng.choice(len(edges), size=args.train_pool,
-                                replace=False)
+        pool = batch_rng0.choice(len(edges), size=args.train_pool,
+                                 replace=False)
         edges = edges[pool]
-    hist = []
-    t_start = time.perf_counter()
-    for i in range(args.steps):
-        key, k = jax.random.split(key)
-        idx = batch_rng.integers(0, len(edges), tcfg.batch_size)
-        state, (loss, acc) = step_fn(state, jnp.asarray(edges[idx]), k)
-        if (i + 1) % args.log_every == 0 or i == 0:
-            lf, af = float(loss), float(acc)
-            hist.append({"step": i + 1, "loss": round(lf, 4),
-                         "acc": round(af, 4)})
-            print(f"step {i + 1:4d} | loss {lf:.4f} | acc {af:.4f}",
-                  flush=True)
-    wall = time.perf_counter() - t_start
 
-    v1_loss, v1_acc = (float(x) for x in eval_fn(state.params, ek))
-    print(f"eval@{args.steps}: loss {v1_loss:.4f} acc {v1_acc:.4f}",
-          flush=True)
+    def run_cfg(fo):
+        # With an adaptive table rule there is no dense-step-parity
+        # constraint on the rest params, so they get adam (the reference's
+        # optimizer).
+        opt = optax.adam(1e-3) if args.table_opt == "adafactor" \
+            else optax.sgd(tcfg.lr)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        step_fn = build_sampled_train_step(csr, cfg, tcfg, opt,
+                                           fanouts=fo, sparse_emb=True,
+                                           table_opt=args.table_opt)
+        eval_fn = build_sampled_eval_epoch(csr, val_edges, cfg, tcfg,
+                                           fanouts=eval_fanouts)
+        state = step_fn.init_state(params)
+        key = jax.random.PRNGKey(2)
+        ek = jax.random.PRNGKey(3)
 
-    out = {
-        "config": {"nodes": n, "edges": e, "relations": r,
-                   "batch_size": tcfg.batch_size, "fanouts": list(fanouts),
-                   "eval_fanouts": list(eval_fanouts),
-                   "compute_dtype": "bfloat16",
-                   "table_opt": args.table_opt,
-                   "rest_opt": "adam(1e-3)"
-                               if args.table_opt == "adafactor" else "sgd",
-                   "lr": tcfg.lr, "sparse_emb": True,
-                   "train_pool": args.train_pool or len(edges)},
-        "steps": args.steps,
-        "wall_s": round(wall, 1),
-        "ms_per_step": round(wall / args.steps * 1e3, 1),
-        "train_history": hist,
-        "eval": {"step0": {"loss": round(v0_loss, 4),
-                           "acc": round(v0_acc, 4)},
-                 "final": {"loss": round(v1_loss, 4),
-                           "acc": round(v1_acc, 4)},
-                 "held_out_edges": args.eval_edges},
-    }
+        v0_loss, v0_acc = (float(x) for x in eval_fn(state.params, ek))
+        print(f"[{fo}] eval@0: loss {v0_loss:.4f} acc {v0_acc:.4f}",
+              flush=True)
+
+        batch_rng = np.random.default_rng(0)
+        hist = []
+        t_start = time.perf_counter()
+        for i in range(args.steps):
+            key, k = jax.random.split(key)
+            idx = batch_rng.integers(0, len(edges), tcfg.batch_size)
+            state, (loss, acc) = step_fn(state, jnp.asarray(edges[idx]), k)
+            if (i + 1) % args.log_every == 0 or i == 0:
+                lf, af = float(loss), float(acc)
+                hist.append({"step": i + 1, "loss": round(lf, 4),
+                             "acc": round(af, 4)})
+                print(f"[{fo}] step {i + 1:4d} | loss {lf:.4f} | "
+                      f"acc {af:.4f}", flush=True)
+        wall = time.perf_counter() - t_start
+
+        v1_loss, v1_acc = (float(x) for x in eval_fn(state.params, ek))
+        print(f"[{fo}] eval@{args.steps}: loss {v1_loss:.4f} "
+              f"acc {v1_acc:.4f}", flush=True)
+        return {
+            "config": {"nodes": n, "edges": e, "relations": r,
+                       "batch_size": tcfg.batch_size, "fanouts": list(fo),
+                       "eval_fanouts": list(eval_fanouts),
+                       "compute_dtype": "bfloat16",
+                       "table_opt": args.table_opt,
+                       "rest_opt": "adam(1e-3)"
+                                   if args.table_opt == "adafactor"
+                                   else "sgd",
+                       "lr": tcfg.lr, "sparse_emb": True,
+                       "train_pool": args.train_pool or len(edges)},
+            "steps": args.steps,
+            "wall_s": round(wall, 1),
+            "ms_per_step": round(wall / args.steps * 1e3, 1),
+            "train_history": hist,
+            "eval": {"step0": {"loss": round(v0_loss, 4),
+                               "acc": round(v0_acc, 4)},
+                     "final": {"loss": round(v1_loss, 4),
+                               "acc": round(v1_acc, 4)},
+                     "held_out_edges": args.eval_edges},
+        }
+
+    if len(sweep) == 1:
+        out = run_cfg(sweep[0])
+    else:
+        out = {"sweep": {f"{fo[0]}/{fo[1]}": run_cfg(fo) for fo in sweep}}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
