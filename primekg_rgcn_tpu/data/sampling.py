@@ -441,6 +441,11 @@ def sample_batch(key: jax.Array, csr: CsrCache, seeds: jnp.ndarray,
     relation for the output layer and 10 for the layer below, mirroring the
     config in BASELINE.json). Jit-safe for fixed seed count.
     """
+    if mode not in ("uniform", "truncate"):
+        raise ValueError(
+            f"per-relation layout supports mode 'uniform' or 'truncate', "
+            f"got {mode!r} ('block' needs the combined layout — its "
+            f"contiguous windows ride the merged CSR)")
     seeds = seeds.astype(jnp.int32)
     cap0 = _unique_cap(int(seeds.shape[0]), csr.num_nodes)
     frontier, seed_gather = jnp.unique(
@@ -731,11 +736,32 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
     r_count = ccsr.num_relations
     start = jnp.take(ccsr.row_start, frontier)
     dtot = jnp.take(ccsr.deg_total, frontier)
+    n_blocks = None
     if mode == "uniform":
         key, k = jax.random.split(key)
         u = jax.random.uniform(k, (m, budget))
         idx = jnp.floor(u * dtot[:, None]).astype(jnp.int32)
         valid = (dtot > 0)[:, None] & jnp.ones((m, budget), bool)
+    elif mode == "block":
+        # One uniformly-random ALIGNED block of F consecutive merged-CSR
+        # edges per node: every edge's inclusion probability is exactly
+        # 1 / ceil(deg_total / F) regardless of which block it sits in
+        # (the last, short block is chosen with the same probability), so
+        # the per-relation-mean estimator stays unbiased with weight
+        # ceil(deg_total / F) / deg_r — and each node's picks are ONE
+        # contiguous run, fetchable as a single DMA instead of F random
+        # row-gather descriptors (the config-5 pick fetch is
+        # descriptor-bound, docs/KERNELS.md "Round 3"). deg <= F reduces
+        # to the exact full neighborhood (== truncate at full fanout).
+        key, k = jax.random.split(key)
+        n_blocks = -(-dtot // budget)  # ceil; 0 when deg == 0
+        u = jax.random.uniform(k, (m,))
+        blk = jnp.floor(u * jnp.maximum(n_blocks, 1).astype(
+            jnp.float32)).astype(jnp.int32)
+        blk = jnp.minimum(blk, jnp.maximum(n_blocks - 1, 0))
+        idx = (blk * budget)[:, None] + jnp.arange(budget,
+                                                   dtype=jnp.int32)[None, :]
+        valid = idx < dtot[:, None]
     else:  # truncate: the first min(deg_total, F) merged edges
         idx = jnp.broadcast_to(jnp.arange(budget, dtype=jnp.int32),
                                (m, budget))
@@ -776,6 +802,8 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
     if mode == "uniform":
         w = dtot[:, None].astype(jnp.float32) / (
             budget * jnp.maximum(deg_r, 1.0))
+    elif mode == "block":
+        w = n_blocks[:, None].astype(jnp.float32) / jnp.maximum(deg_r, 1.0)
     else:
         w = 1.0 / jnp.maximum(deg_r, 1.0)
     w = jnp.where(valid & (deg_r > 0), w, 0.0)
@@ -840,7 +868,14 @@ def sample_batch_combined(key: jax.Array, ccsr: CombinedCsr,
     encoder gathers straight from the embedding table. Only single-chip
     paths may enable it — sharded layouts rely on frontier-sized
     collectives and must keep the deduplicated frontier.
+
+    Modes: "uniform" (per-slot with-replacement picks), "block" (one
+    random aligned F-edge window per node — unbiased, DMA-contiguous, see
+    :func:`_sample_layer_combined`), "truncate" (first min(deg, F) edges;
+    exact when F >= max degree).
     """
+    if mode not in ("uniform", "block", "truncate"):
+        raise ValueError(f"unknown sampling mode {mode!r}")
     seeds = seeds.astype(jnp.int32)
     cap0 = _unique_cap(int(seeds.shape[0]), ccsr.num_nodes)
     frontier, seed_gather = jnp.unique(

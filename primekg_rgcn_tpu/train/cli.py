@@ -59,6 +59,14 @@ def parse_args(argv=None):
                         "many optimizer updates (0 = whole epoch fused); "
                         "with --sample_fanouts on one device: steps fused "
                         "per dispatch (0 = default 32)")
+    p.add_argument("--sample_mode", choices=["uniform", "block", "truncate"],
+                   default="uniform",
+                   help="with --sample_fanouts: neighbor pick scheme. "
+                        "uniform = per-slot with-replacement; block = one "
+                        "random aligned F-edge CSR window per node "
+                        "(unbiased, DMA-contiguous — the fast fetch at "
+                        "config-5 scale); truncate = first min(deg, F) "
+                        "edges (deterministic, exact at F >= max degree)")
     p.add_argument("--sample_fanouts", type=int, nargs="+", default=None,
                    help="enable neighbor-sampled mini-batch training with "
                         "these per-relation fanouts, outermost layer first "
@@ -291,6 +299,7 @@ def main(argv=None):
                                  full_graph, train_edges, val_edges,
                                  args.output_dir,
                                  fanouts=tuple(args.sample_fanouts),
+                                 mode=args.sample_mode,
                                  n_devices=sample_ndev, zero1=args.zero1,
                                  zero3=args.zero3, dp_pods=args.dp_pods,
                                  sparse_emb=args.sparse_emb,

@@ -64,6 +64,10 @@ def main():
                          "params and trains --steps steps; --eval_fanouts "
                          "(default: the first pair) pins one shared eval "
                          "estimator. Writes a {budgets: result} map.")
+    ap.add_argument("--mode", default="uniform",
+                    choices=["uniform", "block", "truncate"],
+                    help="neighbor pick scheme (block = contiguous random "
+                         "window, the DMA-friendly unbiased fetch)")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on the 10M/100M graph (smoke-test "
                          "the sweep at e.g. 0.01 before burning chip time)")
@@ -135,7 +139,8 @@ def main():
             else optax.sgd(tcfg.lr)
         params = init_params(jax.random.PRNGKey(0), cfg)
         step_fn = build_sampled_train_step(csr, cfg, tcfg, opt,
-                                           fanouts=fo, sparse_emb=True,
+                                           fanouts=fo, mode=args.mode,
+                                           sparse_emb=True,
                                            table_opt=args.table_opt)
         eval_fn = build_sampled_eval_epoch(csr, val_edges, cfg, tcfg,
                                            fanouts=eval_fanouts)
@@ -168,6 +173,7 @@ def main():
         return {
             "config": {"nodes": n, "edges": e, "relations": r,
                        "batch_size": tcfg.batch_size, "fanouts": list(fo),
+                       "mode": args.mode,
                        "eval_fanouts": list(eval_fanouts),
                        "compute_dtype": "bfloat16",
                        "table_opt": args.table_opt,
