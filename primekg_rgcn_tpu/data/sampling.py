@@ -57,6 +57,7 @@ right default — sampling's win begins where full-batch stops fitting
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, NamedTuple, Sequence, Tuple
 
@@ -554,6 +555,11 @@ class CombinedCsr(NamedTuple):
 # per-edge slim layout wins on memory (config-5: 1 GB vs 200 MB).
 SLIM_TABLE_BYTES = 128 * 2**20
 
+# Sentinel rows appended to the packed record table so block-mode window
+# fetches (one contiguous F-slot DMA per node) can over-read past the last
+# row; must stay >= the 48-slot budget cap.
+WINDOW_PAD = 64
+
 
 def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
     """Host-side, once per graph: merged (dst, rel)-sorted CSR.
@@ -598,6 +604,14 @@ def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
                 meta = ((rel_s.astype(np.int32) << 16)
                         | deg_edge.view(np.uint16).astype(np.int32))
                 packed = np.stack([col, meta], axis=1)
+                # WINDOW_PAD sentinel records (src = sentinel node, last
+                # relation, zero degree => weight 0) let block-mode window
+                # fetches over-read past the last row without bounds
+                # checks; true edge count stays row_start[-1].
+                pad = np.empty((WINDOW_PAD, 2), np.int32)
+                pad[:, 0] = n
+                pad[:, 1] = (r_count - 1) << 16
+                packed = np.concatenate([packed, pad])
                 col = np.zeros(0, np.int32)
                 rel_s = np.zeros(0, np.int32)
             else:
@@ -670,6 +684,18 @@ def _combined_agg_impl() -> str:
 # conservative: identity costs <= 2x the minimal table rows in backward
 # segment-sum length, while saving the dedup construction + double gather.
 IDENT_FRACTION = 0.5
+
+
+def _window_fetch_enabled() -> bool:
+    """Block-mode contiguous-DMA pick fetch (auto: on except CPU, where
+    the interpreted kernel is slower than the plain gather; tests force it
+    with PRIMEKG_WINDOW_FETCH=1 to exercise the integrated path)."""
+    env = os.environ.get("PRIMEKG_WINDOW_FETCH", "auto")
+    if env in ("0", "off"):
+        return False
+    if env in ("1", "pallas"):
+        return True
+    return jax.default_backend() != "cpu"
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -768,10 +794,23 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         valid = idx < dtot[:, None]
     pos = start[:, None] + jnp.minimum(idx, jnp.maximum(dtot[:, None] - 1, 0))
     if ccsr.packed is not None and ccsr.packed.shape[0]:
-        # Packed slim layout: (src, rel | deg) in one int32[E, 2] record —
-        # ONE 8-byte row gather per slot instead of three element gathers.
-        rec = jnp.take(ccsr.packed, pos.reshape(-1),
-                       axis=0).reshape(m, budget, 2)
+        if mode == "block" and _window_fetch_enabled():
+            # Contiguous windows: ONE async DMA per node instead of F
+            # row-gather descriptors (ops/pallas/window_fetch.py). The
+            # build-time WINDOW_PAD sentinel rows absorb the over-read
+            # past each row's end; out-of-row slots are masked below like
+            # any invalid slot.
+            from primekg_rgcn_tpu.ops.pallas.window_fetch import \
+                window_rows_fetch
+
+            rec = window_rows_fetch(ccsr.packed,
+                                    start + blk * budget, budget)
+        else:
+            # Packed slim layout: (src, rel | deg) in one int32[E, 2]
+            # record — ONE 8-byte row gather per slot instead of three
+            # element gathers.
+            rec = jnp.take(ccsr.packed, pos.reshape(-1),
+                           axis=0).reshape(m, budget, 2)
         picks = jnp.where(valid, rec[..., 0], n)
         meta = rec[..., 1]
         # Invalid slots tag the LAST relation (weight 0) so per-row rel

@@ -788,7 +788,14 @@ def test_combined_csr_edge_annotations():
     assert ccsr.col.shape[0] == 0 and ccsr.rel.shape[0] == 0
     assert ccsr.edge_deg.shape[0] == 0 and ccsr.deg_rel_flat.shape[0] == 0
     row_start = np.asarray(ccsr.row_start)
-    packed = np.asarray(ccsr.packed)
+    e_true = int(row_start[-1])
+    from primekg_rgcn_tpu.data.sampling import WINDOW_PAD
+    assert ccsr.packed.shape[0] == e_true + WINDOW_PAD
+    pad = np.asarray(ccsr.packed)[e_true:]
+    assert (pad[:, 0] == ccsr.num_nodes).all()  # sentinel src
+    assert (pad[:, 1] >> 16 == ccsr.num_relations - 1).all()
+    assert (pad[:, 1] & 0xFFFF == 0).all()      # zero degree => weight 0
+    packed = np.asarray(ccsr.packed)[:e_true]
     rel = (packed[:, 1] >> 16).astype(np.int64)
     deg = (packed[:, 1] & 0xFFFF).astype(
         np.uint16).view(np.float16).astype(np.float64)
@@ -1327,3 +1334,33 @@ def test_block_mode_rejects_per_relation_layout():
         sample_batch(jax.random.PRNGKey(0), csr,
                      jnp.arange(8, dtype=jnp.int32), fanouts=(4, 3),
                      mode="block")
+
+
+def test_block_window_fetch_matches_gather(monkeypatch):
+    """The contiguous-DMA window fetch (Pallas, PRIMEKG_WINDOW_FETCH=1,
+    interpreted on CPU) must produce bit-identical sampled blocks to the
+    per-slot XLA gather path on a slim (packed) CSR."""
+    from primekg_rgcn_tpu.data.sampling import (
+        build_combined_csr, sample_batch_combined)
+
+    graph, cfg, params, _, _ = _setup_sparse(e=900)
+    ccsr = build_combined_csr(graph, slim=True)
+    assert ccsr.packed.shape[0] > 0
+    seeds = jnp.asarray(np.arange(20, dtype=np.int32))
+    key = jax.random.PRNGKey(11)
+
+    monkeypatch.setenv("PRIMEKG_WINDOW_FETCH", "0")
+    b_gather = sample_batch_combined(key, ccsr, seeds, (6, 5), mode="block")
+    monkeypatch.setenv("PRIMEKG_WINDOW_FETCH", "1")
+    b_window = sample_batch_combined(key, ccsr, seeds, (6, 5), mode="block")
+
+    for blk_g, blk_w in zip(b_gather.blocks, b_window.blocks):
+        np.testing.assert_array_equal(np.asarray(blk_g.src_local),
+                                      np.asarray(blk_w.src_local))
+        np.testing.assert_array_equal(np.asarray(blk_g.rel_tag),
+                                      np.asarray(blk_w.rel_tag))
+        np.testing.assert_array_equal(np.asarray(blk_g.slot_w),
+                                      np.asarray(blk_w.slot_w))
+    out_g = encoder_apply_sampled(params, b_gather, cfg)
+    out_w = encoder_apply_sampled(params, b_window, cfg)
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_w))
