@@ -555,10 +555,17 @@ class CombinedCsr(NamedTuple):
 # per-edge slim layout wins on memory (config-5: 1 GB vs 200 MB).
 SLIM_TABLE_BYTES = 128 * 2**20
 
-# Sentinel rows appended to the packed record table so block-mode window
-# fetches (one contiguous F-slot DMA per node) can over-read past the last
-# row; must stay >= the 48-slot budget cap.
-WINDOW_PAD = 64
+def _window_pad(e: int) -> int:
+    """Sentinel rows appended to the packed record table: >= 128 so
+    block-mode window fetches (ops/pallas/window_fetch.py) can over-read a
+    full 64-record granule past the last row, plus alignment filler so the
+    padded table is an exact multiple of 64 records = 128 words (the
+    aligned-pair fetch views it as [G, 128] int32 rows)."""
+    return 128 + (-e) % 64
+
+
+# Backward-compat floor used in tests; the real pad is _window_pad(E).
+WINDOW_PAD = 128
 
 
 def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
@@ -604,11 +611,12 @@ def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
                 meta = ((rel_s.astype(np.int32) << 16)
                         | deg_edge.view(np.uint16).astype(np.int32))
                 packed = np.stack([col, meta], axis=1)
-                # WINDOW_PAD sentinel records (src = sentinel node, last
+                # _window_pad sentinel records (src = sentinel node, last
                 # relation, zero degree => weight 0) let block-mode window
                 # fetches over-read past the last row without bounds
-                # checks; true edge count stays row_start[-1].
-                pad = np.empty((WINDOW_PAD, 2), np.int32)
+                # checks and round the table to whole 64-record granules;
+                # true edge count stays row_start[-1].
+                pad = np.empty((_window_pad(e), 2), np.int32)
                 pad[:, 0] = n
                 pad[:, 1] = (r_count - 1) << 16
                 packed = np.concatenate([packed, pad])

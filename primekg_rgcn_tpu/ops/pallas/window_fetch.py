@@ -1,111 +1,153 @@
-"""Pallas TPU kernel: contiguous-window record fetch for block sampling.
+"""Contiguous-window record fetch for block sampling (2 impls, bake-off).
 
 Why: the combined-layout pick phase is descriptor-count-bound — XLA's row
 gather issues one descriptor per picked slot, and at config-5 scale (~8M
 slots from the [100M, 2] packed CSR) that is ~150 ms of the sampled step
 (docs/KERNELS.md "Round 3"). Block sampling mode (data/sampling.py) makes
 every node's F picks ONE contiguous run of packed records, so the fetch
-can be one async HBM->VMEM DMA per *node* instead of F descriptors per
-node: [M] window copies of F records replace [M * F] row gathers.
+can exploit contiguity: per node, grab the two 64-record granules the
+window straddles (one aligned 1 KB contiguous read) and shift the window
+out — [M] granule-pair reads replace [M * F] row-gather descriptors.
 
-Shape strategy: both DMA sides stay contiguous — the packed table is
-viewed as int32[1, (E + pad) * 2] (HBM, untiled, arbitrary lane slices)
-and each window lands in one (1, 2F) VMEM row (2F <= 96 lanes for the
-48-slot budget cap — a single sublane row, no strided sub-transfers).
-The output block is [NB, 1, 2F]; callers reshape to [M, F, 2].
+Mosaic constraint that shaped the design: VMEM/HBM lane slices must be
+128-lane granules at 128-aligned offsets ("Failed to prove that a tile
+index in dimension 1 is divisible by the tiling (128)"), so arbitrary
+per-node window DMAs are not expressible — both impls fetch ALIGNED
+[G, 128]-word rows (the packed table is build-time padded to whole
+granules, data/sampling._window_pad) and extract the window afterwards:
 
-The caller guarantees ``starts + F <= packed_rows`` via the build-time
-WINDOW_PAD sentinel rows (data/sampling.py), so the kernel needs no bounds
-checks. Invalid slots inside a window (past the node's degree) are masked
-by the sampler's validity logic, not here.
+- ``xla``: one XLA gather of the two consecutive granule rows per node
+  (rows r, r+1 are contiguous in HBM — a single coalescable descriptor
+  pair) + a [M, 2F]-element ``take_along_axis`` shift. No Pallas.
+- ``pallas``: one async DMA per node for the contiguous (2, 128)-word
+  granule pair + an in-kernel dynamic lane roll (tpu.dynamic_rotate)
+  replacing the element-gather shift.
+
+``window_rows_fetch(impl="auto")`` picks ``xla`` (measured on-chip
+bake-off pending; PRIMEKG_WINDOW_IMPL overrides).
 
 Reference context: the reference's PyG pipeline has no sampled path at all
 (reference: README.md:624-627 lists mini-batch sampling as unimplemented);
-this kernel serves BASELINE.json config 4/5's fanout-sampled training.
+this op serves BASELINE.json config 4/5's fanout-sampled training.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Nodes per grid step: enough in-flight DMAs to hide issue latency while
-# keeping the semaphore array and the [NB, 1, 2F] output block small.
+# Words per granule row: the Mosaic lane-tiling quantum for int32.
+LANES = 128
+
+# Nodes per grid step in the pallas impl.
 WINDOW_NB = 256
 
 
-def _window_kernel(starts_ref, flat_ref, out_ref, sem, *, nb, w2):
+def _pair_view(packed: jnp.ndarray):
+    """[Ep, 2] int32 -> [G, 128] granule rows (free row-major reshape)."""
+    ep2 = packed.shape[0] * 2
+    if ep2 % LANES:
+        raise ValueError(
+            f"packed table has {packed.shape[0]} records, not a whole "
+            f"number of 64-record granules — build it via "
+            f"build_combined_csr (data/sampling._window_pad)")
+    return packed.reshape(ep2 // LANES, LANES)
+
+
+def _xla_window_fetch(packed, starts, width):
+    """Aligned granule-pair gather + take_along_axis shift."""
+    m = starts.shape[0]
+    w2 = 2 * width
+    x = _pair_view(packed)
+    s2 = starts * 2
+    r = s2 // LANES
+    pair = jnp.take(x, jnp.stack([r, r + 1], 1).reshape(-1),
+                    axis=0).reshape(m, 2 * LANES)
+    lane = (s2 - r * LANES)[:, None] + jnp.arange(w2, dtype=jnp.int32)
+    rec = jnp.take_along_axis(pair, lane, axis=1)
+    return rec.reshape(m, width, 2)
+
+
+def _roll_kernel(starts2_ref, x_ref, out_ref, buf, sem, *, nb):
     p = pl.program_id(0)
 
     def issue(j, _):
-        s = starts_ref[p * nb + j]
+        r = starts2_ref[p * nb + j] // LANES
         pltpu.make_async_copy(
-            flat_ref.at[:, pl.ds(s, w2)],
-            out_ref.at[j],
+            x_ref.at[pl.ds(r, 2), :],
+            buf.at[j],
             sem.at[j],
         ).start()
         return 0
 
     jax.lax.fori_loop(0, nb, issue, 0)
 
-    def drain(j, _):
-        # Reconstruct an equivalent-shape copy to wait on sem[j] for the
-        # right byte count (the standard Pallas wait idiom for DMAs issued
-        # inside traced loops).
+    def extract(j, _):
         pltpu.make_async_copy(
-            flat_ref.at[:, pl.ds(0, w2)],
-            out_ref.at[j],
-            sem.at[j],
+            x_ref.at[pl.ds(0, 2), :], buf.at[j], sem.at[j],
         ).wait()
+        sh = starts2_ref[p * nb + j] % LANES
+        row = jnp.concatenate([buf[j, 0:1, :], buf[j, 1:2, :]], axis=1)
+        # Left-roll by sh: the window's first word lands in lane 0.
+        out_ref[j] = pltpu.roll(row, shift=2 * LANES - sh, axis=1)[:, :LANES]
         return 0
 
-    jax.lax.fori_loop(0, nb, drain, 0)
+    jax.lax.fori_loop(0, nb, extract, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def window_rows_fetch(packed: jnp.ndarray, starts: jnp.ndarray,
-                      width: int, interpret: bool = False) -> jnp.ndarray:
-    """Fetch ``packed[starts[i] : starts[i] + width, :]`` for every i.
-
-    Args:
-        packed: int32[Ep, 2] record table, padded so every window fits
-            (Ep >= max(starts) + width — see data/sampling.WINDOW_PAD).
-        starts: int32[M] window starts (row indices into ``packed``).
-        width: static window length F (the layer budget).
-
-    Returns int32[M, width, 2].
-
-    One async DMA per node; on CPU (tests) the Pallas interpreter runs the
-    same program. Callers on non-TPU backends should prefer the plain XLA
-    gather — this kernel's win is descriptor amortization, which only
-    exists on real TPU DMA hardware.
-    """
+def _pallas_window_fetch(packed, starts, width, interpret=False):
+    """Granule-pair DMA + in-kernel dynamic lane roll."""
     m = int(starts.shape[0])
-    w2 = 2 * width
+    x = _pair_view(packed)
     nb = min(WINDOW_NB, max(m, 1))
     mp = -(-m // nb) * nb
+    s2 = starts * 2
     if mp != m:
-        # Padded lanes fetch window 0 and are sliced off.
-        starts = jnp.concatenate(
-            [starts, jnp.zeros((mp - m,), starts.dtype)])
-    flat = packed.reshape(1, -1)
+        s2 = jnp.concatenate([s2, jnp.zeros((mp - m,), s2.dtype)])
     if jax.default_backend() == "cpu":
         interpret = True
-    kernel = functools.partial(_window_kernel, nb=nb, w2=w2)
+    kernel = functools.partial(_roll_kernel, nb=nb)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(mp // nb,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((nb, 1, w2), lambda p, *pf: (p, 0, 0)),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((nb,))],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((nb, 1, LANES),
+                                   lambda p, *pf: (p, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((nb, 2, LANES), jnp.int32),
+                            pltpu.SemaphoreType.DMA((nb,))],
         ),
-        out_shape=jax.ShapeDtypeStruct((mp, 1, w2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((mp, 1, LANES), jnp.int32),
         interpret=interpret,
-    )(starts * 2, flat)
-    return out[:m].reshape(m, width, 2)
+    )(s2, x)
+    return out[:m, 0, :2 * width].reshape(m, width, 2)
+
+
+def window_rows_fetch(packed: jnp.ndarray, starts: jnp.ndarray,
+                      width: int, impl: str = "auto") -> jnp.ndarray:
+    """Fetch ``packed[starts[i] : starts[i] + width, :]`` for every i.
+
+    Args:
+        packed: int32[Ep, 2] record table in whole 64-record granules with
+            >= 64 sentinel records of tail padding (build_combined_csr).
+        starts: int32[M] window starts (record indices); the caller
+            guarantees ``starts <= true_edge_count - 1``.
+        width: static window length F (the layer budget), <= 64.
+
+    Returns int32[M, width, 2].
+    """
+    if width > 64:
+        raise ValueError(f"window width {width} > 64 (the granule-pair "
+                         f"fetch and tail padding are sized for the "
+                         f"48-slot budget cap)")
+    if impl == "auto":
+        impl = os.environ.get("PRIMEKG_WINDOW_IMPL", "xla")
+    if impl == "pallas":
+        return _pallas_window_fetch(packed, starts, width)
+    return _xla_window_fetch(packed, starts, width)

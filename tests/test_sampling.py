@@ -789,8 +789,9 @@ def test_combined_csr_edge_annotations():
     assert ccsr.edge_deg.shape[0] == 0 and ccsr.deg_rel_flat.shape[0] == 0
     row_start = np.asarray(ccsr.row_start)
     e_true = int(row_start[-1])
-    from primekg_rgcn_tpu.data.sampling import WINDOW_PAD
-    assert ccsr.packed.shape[0] == e_true + WINDOW_PAD
+    from primekg_rgcn_tpu.data.sampling import _window_pad
+    assert ccsr.packed.shape[0] == e_true + _window_pad(e_true)
+    assert ccsr.packed.shape[0] % 64 == 0  # whole 64-record granules
     pad = np.asarray(ccsr.packed)[e_true:]
     assert (pad[:, 0] == ccsr.num_nodes).all()  # sentinel src
     assert (pad[:, 1] >> 16 == ccsr.num_relations - 1).all()
