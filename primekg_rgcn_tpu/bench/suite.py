@@ -130,7 +130,7 @@ def bench_full_batch(**kw) -> Dict:
 
 
 def bench_sampled(fanouts=(15, 10), dataset="primekg",
-                  compute_dtype=None) -> Dict:
+                  compute_dtype=None, mode="uniform") -> Dict:
     """Mini-batch neighbor-sampled training step.
 
     dataset="primekg" is the north-star subgraph; "primekg-full" is BASELINE
@@ -192,7 +192,8 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
     # the sparse-embedding step drops the dense [N, 64] table gradient
     # (2.56 GB) and the full-table SGD stream from the per-step live set.
     step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
-                                       fanouts=fanouts, sparse_emb=big)
+                                       fanouts=fanouts, sparse_emb=big,
+                                       mode=mode)
 
     edges = np.stack([src, dst, rel], 1).astype(np.int32)
     rng = np.random.default_rng(0)
@@ -342,6 +343,8 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "sampled-full-bf16-15-10": lambda: bench_sampled(
         (15, 10), "primekg-full", compute_dtype="bfloat16"),
     "sampled-10m-15-10": lambda: bench_sampled((15, 10), "rmat-10m"),
+    "sampled-10m-block-15-10": lambda: bench_sampled((15, 10), "rmat-10m",
+                                                     mode="block"),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),
