@@ -1365,3 +1365,54 @@ def test_block_window_fetch_matches_gather(monkeypatch):
     out_g = encoder_apply_sampled(params, b_gather, cfg)
     out_w = encoder_apply_sampled(params, b_window, cfg)
     np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_w))
+
+
+def test_zero3_block_mode_matches_zero1():
+    """Block sampling composes with the sharded layouts: zero3 == zero1
+    under mode='block' (the window picks ride the same dedup frontier and
+    collectives as uniform mode)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device platform")
+    from primekg_rgcn_tpu.config import TrainConfig
+    from primekg_rgcn_tpu.parallel.mesh import make_mesh
+    from primekg_rgcn_tpu.train.sampled import (
+        build_sampled_train_step_zero1, build_sampled_train_step_zero3)
+
+    rng = np.random.default_rng(1)
+    n, r, e = 80, 16, 700  # relation-sparse: resolves to the combined CSR
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.3)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    edges = jnp.asarray(np.stack([src, dst, rel], 1).astype(np.int32))
+    mesh = make_mesh(len(jax.devices()))
+
+    init1, step1 = build_sampled_train_step_zero1(
+        graph, cfg, tcfg, mesh, fanouts=(5, 4), mode="block")
+    init3, step3, to_full, _ = build_sampled_train_step_zero3(
+        graph, cfg, tcfg, mesh, fanouts=(5, 4), mode="block")
+
+    def run(init, step, to_full_fn):
+        p0 = jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True),
+                                    params)
+        st = init(p0)
+        key = jax.random.PRNGKey(9)
+        for _ in range(3):
+            key, k, kb = jax.random.split(key, 3)
+            bi = jax.random.randint(kb, (64,), 0, e)
+            st, (loss, _) = step(st, edges[bi], k)
+        assert np.isfinite(float(loss))
+        emb = st.params["encoder"]["node_emb"]
+        if to_full_fn is not None:
+            emb = to_full_fn(emb)
+        return emb, st.params["decoder"]["rel_emb"]
+
+    outs1 = run(init1, step1, None)
+    outs3 = run(init3, step3, to_full)
+    for a, b in zip(outs1, outs3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-6)
