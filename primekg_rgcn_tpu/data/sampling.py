@@ -564,11 +564,38 @@ def _window_pad(e: int) -> int:
     return 128 + (-e) % 64
 
 
+# Records per aligned granule (= 128 int32 lanes / 2 words per record).
+GRANULE = 64
+
+
+def packed_is_pairs(packed) -> bool:
+    """True when a packed record table is in granule-pairs form
+    (int32[G, 128], see :func:`build_combined_csr` ``window_pairs``)."""
+    return (packed is not None and packed.ndim == 2
+            and packed.shape[1] == 2 * GRANULE)
+
+
+def csr_to_pairs_form(ccsr: "CombinedCsr") -> "CombinedCsr":
+    """Convert an already-built row-form packed CSR to granule-pairs form.
+
+    One host round-trip of the packed table (free when it is still a
+    numpy-backed array; one download+upload when device-resident) — used
+    by the step builders when ``mode="block"`` meets a CSR that was built
+    without ``window_pairs=True``. No-op for fat/unpacked/pairs CSRs.
+    """
+    p = ccsr.packed
+    if p is None or not p.shape[0] or packed_is_pairs(p):
+        return ccsr
+    pr = np.asarray(p).reshape(-1, 2 * GRANULE)
+    return ccsr._replace(packed=jnp.asarray(pr))
+
+
 # Backward-compat floor used in tests; the real pad is _window_pad(E).
 WINDOW_PAD = 128
 
 
-def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
+def build_combined_csr(graph: RelGraph, *, slim: bool = None,
+                       window_pairs: bool = False) -> CombinedCsr:
     """Host-side, once per graph: merged (dst, rel)-sorted CSR.
 
     ``slim`` switches the degree layout (see :class:`CombinedCsr`);
@@ -576,6 +603,16 @@ def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
     ``SLIM_TABLE_BYTES`` — the config-5 memory savings are irrelevant at
     129K nodes and its sub-word gathers cost measurable step time there
     (VERDICT r2 item 5).
+
+    ``window_pairs`` stores the packed record table in GRANULE-PAIRS form
+    (int32[G, 128]: 64 (src, meta) records per row — the same bytes,
+    reshaped HERE on the host where it is a free view) instead of row
+    form (int32[Ep, 2]). Block-mode window fetches need the [G, 128]
+    view, and deriving it on-device is not safe: XLA implements the
+    narrow-dim reshape of a [100M, 2] table by first copying it into the
+    lane-padded (8, 128)-tiled layout — a 51.2 GB allocation that OOMs
+    the 16 GB chip at compile time (measured, config-5 block bench).
+    Row form remains the layout for per-slot gathers (uniform/truncate).
     """
     from primekg_rgcn_tpu.data.graph import edge_arrays_from_graph
 
@@ -617,9 +654,11 @@ def build_combined_csr(graph: RelGraph, *, slim: bool = None) -> CombinedCsr:
                 # checks and round the table to whole 64-record granules;
                 # true edge count stays row_start[-1].
                 pad = np.empty((_window_pad(e), 2), np.int32)
-                pad[:, 0] = n
+                pad[:, 0] = n  # sentinel node id (embedding row n is 0)
                 pad[:, 1] = (r_count - 1) << 16
                 packed = np.concatenate([packed, pad])
+                if window_pairs:
+                    packed = packed.reshape(-1, 2 * GRANULE)
                 col = np.zeros(0, np.int32)
                 rel_s = np.zeros(0, np.int32)
             else:
@@ -802,7 +841,13 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         valid = idx < dtot[:, None]
     pos = start[:, None] + jnp.minimum(idx, jnp.maximum(dtot[:, None] - 1, 0))
     if ccsr.packed is not None and ccsr.packed.shape[0]:
-        if mode == "block" and _window_fetch_enabled():
+        pairs = packed_is_pairs(ccsr.packed)
+        if pairs and mode != "block":
+            raise ValueError(
+                f"packed CSR is in granule-pairs form, which only block-"
+                f"mode window fetches can read — build it without "
+                f"window_pairs for mode={mode!r}")
+        if mode == "block" and (pairs or _window_fetch_enabled()):
             # Contiguous windows: ONE async DMA per node instead of F
             # row-gather descriptors (ops/pallas/window_fetch.py). The
             # build-time WINDOW_PAD sentinel rows absorb the over-read

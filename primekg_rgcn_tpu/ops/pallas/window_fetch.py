@@ -49,7 +49,18 @@ WINDOW_NB = 256
 
 
 def _pair_view(packed: jnp.ndarray):
-    """[Ep, 2] int32 -> [G, 128] granule rows (free row-major reshape)."""
+    """[Ep, 2] int32 -> [G, 128] granule rows; pass-through for [G, 128].
+
+    The device-side narrow-dim reshape is NOT free on TPU at scale: XLA
+    lowers reshape([100M, 2] -> [G, 128]) by first copying the table into
+    the lane-padded (8, 128)-tiled layout — a 51.2 GB allocation that
+    OOMs compile at config-5 (measured). Production callers therefore
+    hand in the granule-pairs form directly (host-reshaped at CSR build,
+    data/sampling.build_combined_csr window_pairs=True); the reshape here
+    stays only for small/test tables.
+    """
+    if packed.ndim == 2 and packed.shape[1] == LANES:
+        return packed
     ep2 = packed.shape[0] * 2
     if ep2 % LANES:
         raise ValueError(
@@ -134,8 +145,11 @@ def window_rows_fetch(packed: jnp.ndarray, starts: jnp.ndarray,
     """Fetch ``packed[starts[i] : starts[i] + width, :]`` for every i.
 
     Args:
-        packed: int32[Ep, 2] record table in whole 64-record granules with
-            >= 64 sentinel records of tail padding (build_combined_csr).
+        packed: the record table in whole 64-record granules with >= 64
+            sentinel records of tail padding (build_combined_csr) —
+            either granule-pairs form int32[G, 128] (production: no
+            device reshape) or row form int32[Ep, 2] (small/test tables
+            only; see _pair_view for why the reshape is unsafe at scale).
         starts: int32[M] window starts (record indices); the caller
             guarantees ``starts <= true_edge_count - 1``.
         width: static window length F (the layer budget), <= 64.

@@ -25,7 +25,8 @@ from primekg_rgcn_tpu.train.loop import TrainState
 from primekg_rgcn_tpu.train.neg_sampling import bce_stats, candidate_batch
 
 
-def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto"):
+def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto",
+                    mode: str = "uniform"):
     """Pick the pick-tensor layout for this graph's relation sparsity.
 
     "per-relation" ([R, M, f] picks) is right when most (node, relation)
@@ -35,9 +36,16 @@ def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto"):
     (measured 2,970 ms/step on 30-relation full PrimeKG vs ~60 ms combined).
     "auto" switches to combined when avg present relations per node is under
     half the relation count. Returns (csr_like, budgets, use_combined).
+
+    ``mode="block"`` additionally puts a slim packed CSR into granule-pairs
+    form (host-side reshape) so the window fetch never needs the unsafe
+    on-device narrow-dim reshape (data/sampling.build_combined_csr).
     """
     from primekg_rgcn_tpu.data.sampling import (
-        CombinedCsr, build_combined_csr, build_csr_cache)
+        CombinedCsr, _window_fetch_enabled, build_combined_csr,
+        build_csr_cache, csr_to_pairs_form)
+
+    want_pairs = mode == "block" and _window_fetch_enabled()
 
     fanouts = tuple(int(f) for f in fanouts)
     if isinstance(graph_or_csr, (CsrCache, CombinedCsr)):
@@ -52,12 +60,14 @@ def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto"):
             csr = build_csr_cache(graph)
         return csr, fanouts, False
     if csr is None:
-        ccsr = build_combined_csr(graph)
+        ccsr = build_combined_csr(graph, window_pairs=want_pairs)
         if layout == "auto" and \
                 ccsr.avg_present_relations >= 0.5 * ccsr.num_relations:
             return build_csr_cache(graph), fanouts, False
     else:
         ccsr = csr
+        if want_pairs:
+            ccsr = csr_to_pairs_form(ccsr)
     # Budget: the per-relation fanout times the graph's typical number of
     # PRESENT relations per node — equal effective sample size without the
     # R*f sentinel blowup. Rounded up to a lane-friendly multiple of 8 and
@@ -140,7 +150,7 @@ def build_sampled_train_step(
     from primekg_rgcn_tpu.data.sampling import (
         sample_batch_combined, table_gather_sorted)
 
-    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout, mode)
 
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
@@ -349,7 +359,7 @@ def build_sampled_eval_epoch(csr, val_edges, model_cfg: ModelConfig,
     """
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
 
-    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout, mode)
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
     edges = np.asarray(val_edges, dtype=np.int32)
     num_edges = int(edges.shape[0])
@@ -439,7 +449,7 @@ def build_sampled_train_step_dp(
 
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
 
-    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout, mode)
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     n_dev = mesh.devices.size
@@ -570,7 +580,7 @@ def build_sampled_train_step_zero1(
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
     from primekg_rgcn_tpu.train.loop import make_optimizer
 
-    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout, mode)
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     inner = make_optimizer(train_cfg, include_clip=False)
@@ -940,7 +950,7 @@ def build_sampled_train_step_zero3(
     from primekg_rgcn_tpu.data.sampling import sample_batch_combined
     from primekg_rgcn_tpu.train.loop import make_optimizer
 
-    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout)
+    csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout, mode)
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
 
     inner = make_optimizer(train_cfg, include_clip=False)
@@ -1257,7 +1267,7 @@ class SampledTrainer:
         # Resolve the pick layout ONCE; every builder (train step, sampled
         # val) then shares the same CSR instead of rebuilding it (the
         # combined CSR costs ~90 s + 700 MB at the 100M-edge config).
-        csr_like = resolve_sampler(graph, fanouts)[0]
+        csr_like = resolve_sampler(graph, fanouts, mode=mode)[0]
         if multi:
             from primekg_rgcn_tpu.parallel.mesh import make_mesh
 

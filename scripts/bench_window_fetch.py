@@ -40,9 +40,14 @@ def main():
     print("platform:", jax.devices()[0].platform, flush=True)
     e, m, f = args.e, args.m, args.f
     rng = np.random.default_rng(0)
-    packed = jnp.asarray(
-        rng.integers(0, 2**31 - 1, (e + _window_pad(e), 2),
-                     dtype=np.int64).astype(np.int32))
+    packed_h = rng.integers(0, 2**31 - 1, (e + _window_pad(e), 2),
+                            dtype=np.int64).astype(np.int32)
+    # Row form for the per-slot gather; granule-pairs form (the SAME bytes,
+    # host-reshaped) for the window impls — deriving the pair view on
+    # device is unsafe: XLA copies the [100M, 2] table into the
+    # lane-padded (8, 128)-tiled layout first (51.2 GB, compile-time OOM).
+    packed = jnp.asarray(packed_h)
+    pairs = jnp.asarray(packed_h.reshape(-1, 128))
     starts_h = rng.integers(0, e, m).astype(np.int32)
     starts = jnp.asarray(starts_h)
 
@@ -65,11 +70,11 @@ def main():
 
     @jax.jit
     def xla_pair(s):
-        return window_rows_fetch(packed, s, f, impl="xla")
+        return window_rows_fetch(pairs, s, f, impl="xla")
 
     @jax.jit
     def pallas_roll(s):
-        return window_rows_fetch(packed, s, f, impl="pallas")
+        return window_rows_fetch(pairs, s, f, impl="pallas")
 
     r_slot = per_slot(starts)
     r_xla = xla_pair(starts)

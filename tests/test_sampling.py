@@ -1367,6 +1367,71 @@ def test_block_window_fetch_matches_gather(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_w))
 
 
+def test_block_pairs_form_matches_row_form(monkeypatch):
+    """Granule-pairs packed CSR (build_combined_csr window_pairs=True and
+    csr_to_pairs_form) yields bit-identical sampled blocks to the row-form
+    CSR. Production block mode stores the pairs form so NO device-side
+    narrow-dim reshape exists: XLA lowers reshape([100M, 2] -> [G, 128])
+    through a lane-padded tiled copy — 51.2 GB, a compile-time OOM at
+    config-5 scale (docs/KERNELS.md Round 4)."""
+    from primekg_rgcn_tpu.data.sampling import (
+        build_combined_csr, csr_to_pairs_form, packed_is_pairs,
+        sample_batch_combined)
+
+    graph, cfg, params, _, _ = _setup_sparse(e=900)
+    row = build_combined_csr(graph, slim=True)
+    built = build_combined_csr(graph, slim=True, window_pairs=True)
+    conv = csr_to_pairs_form(row)
+    assert packed_is_pairs(built.packed) and packed_is_pairs(conv.packed)
+    assert not packed_is_pairs(row.packed)
+    np.testing.assert_array_equal(np.asarray(built.packed),
+                                  np.asarray(conv.packed))
+
+    seeds = jnp.asarray(np.arange(20, dtype=np.int32))
+    key = jax.random.PRNGKey(11)
+    monkeypatch.setenv("PRIMEKG_WINDOW_FETCH", "1")
+    b_row = sample_batch_combined(key, row, seeds, (6, 5), mode="block")
+    # The pairs form takes the window path even where the fetch defaults
+    # off (CPU): it is the only layout the pairs view can serve.
+    monkeypatch.delenv("PRIMEKG_WINDOW_FETCH")
+    b_pair = sample_batch_combined(key, built, seeds, (6, 5), mode="block")
+    for blk_r, blk_p in zip(b_row.blocks, b_pair.blocks):
+        np.testing.assert_array_equal(np.asarray(blk_r.src_local),
+                                      np.asarray(blk_p.src_local))
+        np.testing.assert_array_equal(np.asarray(blk_r.rel_tag),
+                                      np.asarray(blk_p.rel_tag))
+        np.testing.assert_array_equal(np.asarray(blk_r.slot_w),
+                                      np.asarray(blk_p.slot_w))
+    out_r = encoder_apply_sampled(params, b_row, cfg)
+    out_p = encoder_apply_sampled(params, b_pair, cfg)
+    np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_p))
+
+    # Per-slot-gather modes cannot read the pairs form: loud error.
+    with pytest.raises(ValueError, match="granule-pairs"):
+        sample_batch_combined(key, built, seeds, (6, 5), mode="uniform")
+
+
+def test_resolve_sampler_block_mode_builds_pairs_form(monkeypatch):
+    """The step builders' resolve_sampler(mode='block') hands every layer
+    the pairs-form CSR (and converts an existing row-form one), so the
+    integrated trainer path never reshapes the packed table on device."""
+    from primekg_rgcn_tpu.data.sampling import packed_is_pairs
+    from primekg_rgcn_tpu.train.sampled import resolve_sampler
+
+    monkeypatch.setenv("PRIMEKG_WINDOW_FETCH", "1")
+    graph, _, _, row_csr, _ = _setup_sparse(e=900)
+    # slim=True analogue: _setup_sparse's auto CSR is fat at this scale,
+    # so force the packed layout through a slim build.
+    from primekg_rgcn_tpu.data.sampling import build_combined_csr
+
+    row = build_combined_csr(graph, slim=True)
+    out_csr, _, use_combined = resolve_sampler(row, (6, 5), mode="block")
+    assert use_combined and packed_is_pairs(out_csr.packed)
+    # uniform mode leaves row form untouched.
+    out_u, _, _ = resolve_sampler(row, (6, 5), mode="uniform")
+    assert not packed_is_pairs(out_u.packed)
+
+
 def test_zero3_block_mode_matches_zero1():
     """Block sampling composes with the sharded layouts: zero3 == zero1
     under mode='block' (the window picks ride the same dedup frontier and
