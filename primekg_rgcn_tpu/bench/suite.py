@@ -130,7 +130,8 @@ def bench_full_batch(**kw) -> Dict:
 
 
 def bench_sampled(fanouts=(15, 10), dataset="primekg",
-                  compute_dtype=None, mode="uniform") -> Dict:
+                  compute_dtype=None, mode="uniform",
+                  window_impl=None) -> Dict:
     """Mini-batch neighbor-sampled training step.
 
     dataset="primekg" is the north-star subgraph; "primekg-full" is BASELINE
@@ -191,6 +192,12 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
     # combined-neighborhood on relation-sparse full PrimeKG. At 10M nodes
     # the sparse-embedding step drops the dense [N, 64] table gradient
     # (2.56 GB) and the full-table SGD stream from the per-step live set.
+    if window_impl is not None:
+        # Pin the block-mode window-fetch implementation for this row
+        # (ops/pallas/window_fetch.py reads the env at trace time).
+        import os
+
+        os.environ["PRIMEKG_WINDOW_IMPL"] = window_impl
     step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
                                        fanouts=fanouts, sparse_emb=big,
                                        mode=mode)
@@ -345,6 +352,8 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "sampled-10m-15-10": lambda: bench_sampled((15, 10), "rmat-10m"),
     "sampled-10m-block-15-10": lambda: bench_sampled((15, 10), "rmat-10m",
                                                      mode="block"),
+    "sampled-10m-block-pallas-15-10": lambda: bench_sampled(
+        (15, 10), "rmat-10m", mode="block", window_impl="pallas"),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),
