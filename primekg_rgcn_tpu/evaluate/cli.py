@@ -33,6 +33,11 @@ def parse_args(argv=None):
                         "node-partitioned encode feeds device-major "
                         "rank/score kernels; no device materializes the "
                         "[N, D] table (for graphs that exceed one chip)")
+    p.add_argument("--filtered", action="store_true",
+                   help="also report FILTERED ranking metrics (known true "
+                        "tails of (h, r) across all splits removed from "
+                        "the candidate set — the standard KG protocol; "
+                        "the reference reports raw ranks only)")
     return p.parse_args(argv)
 
 
@@ -51,6 +56,8 @@ def main(argv=None):
     log = logging.getLogger("evaluate")
 
     import functools
+
+    import numpy as np
 
     from primekg_rgcn_tpu.config import EvalConfig
     from primekg_rgcn_tpu.data import artifacts
@@ -85,7 +92,18 @@ def main(argv=None):
                    num_neg_samples=args.num_neg_samples,
                    k_values=tuple(args.k_values), seed=args.seed),
         layer_fn=layer_fn, shard_encode=args.shard)
-    metrics = evaluator.evaluate()
+    known = None
+    if args.filtered:
+        # Filter set = union of true triples across every available split
+        # (the 'full' artifact IS that union when present).
+        if ds["full"] is not None:
+            known = artifacts.split_to_edges(ds["full"])
+        else:
+            parts = [artifacts.split_to_edges(ds[k])
+                     for k in ("train", "val", "test") if ds.get(k)]
+            known = np.concatenate(parts) if parts else test_edges
+        log.info("Filtered ranking over %d known triples", len(known))
+    metrics = evaluator.evaluate(known_triples=known)
 
     model_info = {
         "checkpoint_path": str(args.model_path),

@@ -61,6 +61,7 @@ class Evaluator:
         self.layer_fn = layer_fn or rgcn_layer_segment
         self.scores: Optional[np.ndarray] = None
         self.labels: Optional[np.ndarray] = None
+        self._raw_ranks: Optional[np.ndarray] = None
         self._rel_emb = params["decoder"]["rel_emb"]
 
         if shard_encode == "node" and len(jax.devices()) < 2:
@@ -147,15 +148,10 @@ class Evaluator:
         self.labels = np.concatenate(all_labels)
         return self.scores, self.labels
 
-    def compute_ranking_metrics(
-        self, k_values: Optional[Sequence[int]] = None,
-        *, sharded: Optional[bool] = None,
-    ) -> Dict[str, float]:
-        """Raw ranking metrics. When several devices are visible (and
-        ``sharded`` is not explicitly False), the all-tails scoring shards
-        the entity axis across the mesh (evaluate/sharded_ranking.py) —
-        required when B x N score rows stop fitting one chip."""
-        k_values = list(k_values or self.cfg.k_values)
+    def _compute_raw_ranks(self, sharded: Optional[bool] = None) -> np.ndarray:
+        """1-indexed raw rank of every test edge's true tail (cached)."""
+        if self._raw_ranks is not None:
+            return self._raw_ranks
         e = self.test_edges
         n = e.shape[0]
         b = self.cfg.batch_size
@@ -187,21 +183,116 @@ class Evaluator:
                          jnp.asarray(chunk[:, 2]),
                          jnp.asarray(chunk[:, 1]))
             ranks.append(np.asarray(rk))
-        ranks = np.concatenate(ranks)[:n]
+        self._raw_ranks = np.concatenate(ranks)[:n]
+        return self._raw_ranks
+
+    def compute_ranking_metrics(
+        self, k_values: Optional[Sequence[int]] = None,
+        *, sharded: Optional[bool] = None,
+    ) -> Dict[str, float]:
+        """Raw ranking metrics. When several devices are visible (and
+        ``sharded`` is not explicitly False), the all-tails scoring shards
+        the entity axis across the mesh (evaluate/sharded_ranking.py) —
+        required when B x N score rows stop fitting one chip."""
+        k_values = list(k_values or self.cfg.k_values)
+        ranks = self._compute_raw_ranks(sharded)
         return ranking_metrics_from_ranks(ranks, k_values)
 
-    def evaluate(self) -> Dict:
+    # -- filtered ranking (extension; the reference ranks raw only,
+    # reference: src/evaluate.py:264-276) --------------------------------
+    def _scored_triples(self, h, t, r) -> np.ndarray:
+        """Scores of arbitrary (h, t, r) arrays through the evaluator's
+        triple scorer, chunked+padded to ONE compiled shape."""
+        b = self.cfg.batch_size
+        n = len(h)
+        n_pad = -(-max(n, 1) // b) * b
+        hp = np.zeros(n_pad, np.int32)
+        tp = np.zeros(n_pad, np.int32)
+        rp = np.zeros(n_pad, np.int32)
+        hp[:n], tp[:n], rp[:n] = h, t, r
+        out = [
+            np.asarray(self._score_triples(
+                jnp.asarray(hp[s:s + b]), jnp.asarray(tp[s:s + b]),
+                jnp.asarray(rp[s:s + b])))
+            for s in range(0, n_pad, b)
+        ]
+        return np.concatenate(out)[:n]
+
+    def _filter_adjustment(self, known_triples: np.ndarray) -> np.ndarray:
+        """Per test query: #{known true tails of (h, r) scoring STRICTLY
+        higher than the query's own tail} — exactly the entities the
+        filtered protocol removes from the candidate set, and exactly the
+        amount by which the raw rank overcounts. Works for both the dense
+        and the fully-sharded evaluator because it only needs the triple
+        scorer (sigmoid is monotone, so score comparisons are unchanged).
+        """
+        e = self.test_edges
+        kt = np.asarray(known_triples, dtype=np.int64)  # [K, 3] (h, t, r)
+        r_count = int(max(self.model_cfg.num_relations,
+                          kt[:, 2].max() + 1 if len(kt) else 1))
+        key_known = kt[:, 0] * r_count + kt[:, 2]
+        order = np.argsort(key_known, kind="stable")
+        key_sorted = key_known[order]
+        tails_sorted = kt[order, 1].astype(np.int32)
+        key_q = e[:, 0].astype(np.int64) * r_count + e[:, 2]
+        lo = np.searchsorted(key_sorted, key_q, side="left")
+        hi = np.searchsorted(key_sorted, key_q, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(len(e), np.int64)
+        # (query, known-tail) pair list without per-query padding: ragged
+        # lists flattened via the repeat-offset trick.
+        qidx = np.repeat(np.arange(len(e), dtype=np.int64), counts)
+        base = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.repeat(lo, counts) + (np.arange(total) - base)
+        ft = tails_sorted[pos]
+        s_true = self._scored_triples(e[:, 0], e[:, 1], e[:, 2])
+        s_f = self._scored_triples(e[qidx, 0], ft, e[qidx, 2])
+        higher = (s_f > s_true[qidx]).astype(np.int64)
+        return np.bincount(qidx, weights=higher, minlength=len(e)) \
+            .astype(np.int64)
+
+    def compute_filtered_ranking_metrics(
+        self, known_triples: np.ndarray,
+        k_values: Optional[Sequence[int]] = None,
+        *, sharded: Optional[bool] = None,
+    ) -> Dict[str, float]:
+        """Filtered ranking metrics (Bordes et al. protocol): candidates
+        that are THEMSELVES true tails of (h, r) anywhere in
+        ``known_triples`` (train/val/test union) do not count against the
+        test tail's rank. The query's own tail never filters itself (its
+        score is never strictly higher than itself). The reference
+        evaluates raw ranks only — this is a framework extension.
+        """
+        k_values = list(k_values or self.cfg.k_values)
+        ranks = self._compute_raw_ranks(sharded)
+        adj = self._filter_adjustment(known_triples)
+        franks = ranks - adj
+        if len(franks) and franks.min() < 1:
+            raise AssertionError(
+                "filtered rank < 1: adjustment exceeded raw rank (tie "
+                "semantics drifted between the ranker and the scorer)")
+        return ranking_metrics_from_ranks(franks, k_values)
+
+    def evaluate(self, known_triples: Optional[np.ndarray] = None) -> Dict:
         """Full evaluation dict in the reference's results.json schema
-        (reference: src/evaluate.py:341-385)."""
+        (reference: src/evaluate.py:341-385). ``known_triples`` adds a
+        ``ranking_filtered`` block (an extension; see
+        :meth:`compute_filtered_ranking_metrics`)."""
         scores, labels = self.compute_scores_and_labels()
         cls = classification_metrics(scores, labels)
         rnk = self.compute_ranking_metrics()
-        return {
+        out = {
             "classification": cls,
             "ranking": rnk,
             "test_edges": int(self.test_edges.shape[0]),
             "num_nodes": int(self.graph.num_nodes),
         }
+        if known_triples is not None:
+            out["ranking_filtered"] = self.compute_filtered_ranking_metrics(
+                known_triples)
+        return out
 
 
 def save_results(metrics: Dict, output_dir, model_info: Optional[Dict] = None):
@@ -227,5 +318,10 @@ def save_results(metrics: Dict, output_dir, model_info: Optional[Dict] = None):
         f.write("\nRanking Metrics:\n" + "-" * 60 + "\n")
         for k, v in metrics["ranking"].items():
             f.write(f"{k}: {v:.4f}\n")
+        if "ranking_filtered" in metrics:
+            f.write("\nFiltered Ranking Metrics (known true tails removed "
+                    "from candidates):\n" + "-" * 60 + "\n")
+            for k, v in metrics["ranking_filtered"].items():
+                f.write(f"{k}: {v:.4f}\n")
         f.write("\n" + "=" * 60 + "\n")
     logger.info("Saved results to %s", output_dir)

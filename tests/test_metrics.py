@@ -148,3 +148,57 @@ def test_evaluator_sharded_ranking_matches_single():
     m_single = ev.compute_ranking_metrics(sharded=False)
     m_sharded = ev.compute_ranking_metrics(sharded=True)
     assert m_single == m_sharded
+
+
+def test_filtered_ranking_matches_bruteforce():
+    """Filtered protocol (Bordes et al.): known true tails of (h, r) do
+    not count against the test tail's rank. Brute-force numpy over the
+    full score matrix vs the evaluator's scorer-based adjustment."""
+    import jax
+    import jax.numpy as jnp
+    from primekg_rgcn_tpu.config import EvalConfig, ModelConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.evaluate.evaluator import Evaluator
+    from primekg_rgcn_tpu.evaluate.metrics import ranking_metrics_from_ranks
+    from primekg_rgcn_tpu.models.rgcn import init_params
+
+    rng = np.random.default_rng(7)
+    n, r, e = 60, 3, 400
+    graph = build_rel_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                            rng.integers(0, r, e), n, r,
+                            bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    test_edges = np.stack([rng.integers(0, n, 50), rng.integers(0, n, 50),
+                           rng.integers(0, r, 50)], axis=1).astype(np.int32)
+    # Known triples: the test split itself plus extra shared-(h, r) tails
+    # so the filter actually bites (same head+rel, different tails).
+    extra = test_edges.copy()
+    extra[:, 1] = rng.integers(0, n, 50)
+    known = np.concatenate([test_edges, extra])
+
+    ev = Evaluator(params, cfg, graph, test_edges,
+                   EvalConfig(batch_size=16, k_values=(10,)))
+    got = ev.compute_filtered_ranking_metrics(known, sharded=False)
+
+    # Brute force from the evaluator's own embeddings (sigmoid monotone,
+    # comparisons identical to the ranker's raw scores).
+    emb = np.asarray(ev._node_emb)
+    rel = np.asarray(ev._rel_emb)
+    franks = []
+    for h, t, rr in test_edges:
+        s = (emb[h] * rel[rr]) @ emb.T  # [N]
+        keep = np.ones(n, bool)
+        tails = known[(known[:, 0] == h) & (known[:, 2] == rr), 1]
+        keep[tails] = False
+        keep[t] = True
+        franks.append(1 + int(((s > s[t]) & keep).sum()))
+    expect = ranking_metrics_from_ranks(np.asarray(franks), [10])
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k]), k
+
+    # evaluate(known_triples=...) adds the block; raw ranks unchanged.
+    m = ev.evaluate(known_triples=known)
+    assert "ranking_filtered" in m
+    assert m["ranking_filtered"]["mrr"] >= m["ranking"]["mrr"] - 1e-12
