@@ -200,36 +200,40 @@ class Evaluator:
 
     # -- filtered ranking (extension; the reference ranks raw only,
     # reference: src/evaluate.py:264-276) --------------------------------
-    def _scored_triples(self, h, t, r) -> np.ndarray:
-        """Scores of arbitrary (h, t, r) arrays through the evaluator's
-        triple scorer, chunked+padded to ONE compiled shape."""
-        b = self.cfg.batch_size
-        n = len(h)
-        n_pad = -(-max(n, 1) // b) * b
-        hp = np.zeros(n_pad, np.int32)
-        tp = np.zeros(n_pad, np.int32)
-        rp = np.zeros(n_pad, np.int32)
-        hp[:n], tp[:n], rp[:n] = h, t, r
-        out = [
-            np.asarray(self._score_triples(
-                jnp.asarray(hp[s:s + b]), jnp.asarray(tp[s:s + b]),
-                jnp.asarray(rp[s:s + b])))
-            for s in range(0, n_pad, b)
-        ]
-        return np.concatenate(out)[:n]
+    def _rank_filtered_impl(self, heads, rels, true_tails, filt):
+        """(raw_rank, filtered_rank) from ONE [B, N] score matrix.
 
-    def _filter_adjustment(self, known_triples: np.ndarray) -> np.ndarray:
-        """Per test query: #{known true tails of (h, r) scoring STRICTLY
-        higher than the query's own tail} — exactly the entities the
-        filtered protocol removes from the candidate set, and exactly the
-        amount by which the raw rank overcounts. Works for both the dense
-        and the fully-sharded evaluator because it only needs the triple
-        scorer (sigmoid is monotone, so score comparisons are unchanged).
-        """
+        ``filt`` is int32[B, W]: each query's known true tails, padded
+        with the query's OWN tail. Both the raw count and the filter
+        adjustment gather from the SAME ``all_scores`` tensor, so tie
+        semantics are exact by construction — a first version that
+        re-scored the filter tails through the elementwise triple scorer
+        produced ulp-level drift against the ranker's matmul (the padded
+        own-tail entries then counted as 'strictly higher' ~half the
+        time, driving filtered ranks below 1)."""
+        h = jnp.take(self._node_emb, heads, axis=0)
+        r = jnp.take(self._rel_emb, rels, axis=0)
+        all_scores = distmult_score_all_tails(h, r, self._node_emb)
+        s_true = jnp.take_along_axis(all_scores, true_tails[:, None],
+                                     axis=1)
+        raw = 1 + jnp.sum(all_scores > s_true, axis=1)
+        fs = jnp.take_along_axis(all_scores, filt, axis=1)  # [B, W]
+        adj = jnp.sum(fs > s_true, axis=1)  # own-tail pads are exact ties
+        return raw, raw - adj
+
+    def _filter_lists(self, known_triples: np.ndarray):
+        """int32[n_test, W] known-true-tail lists per test query, padded
+        with the query's own tail (an exact tie — contributes 0)."""
         e = self.test_edges
         kt = np.asarray(known_triples, dtype=np.int64)  # [K, 3] (h, t, r)
         r_count = int(max(self.model_cfg.num_relations,
                           kt[:, 2].max() + 1 if len(kt) else 1))
+        # Dedupe triples: multigraph data (and bidirected unions) repeat
+        # (h, r, t), which would double-count the same candidate in the
+        # rank adjustment (each raw rank counts it once).
+        n_nodes = int(self.graph.num_nodes)
+        full_key = (kt[:, 0] * r_count + kt[:, 2]) * n_nodes + kt[:, 1]
+        kt = kt[np.unique(full_key, return_index=True)[1]]
         key_known = kt[:, 0] * r_count + kt[:, 2]
         order = np.argsort(key_known, kind="stable")
         key_sorted = key_known[order]
@@ -238,41 +242,66 @@ class Evaluator:
         lo = np.searchsorted(key_sorted, key_q, side="left")
         hi = np.searchsorted(key_sorted, key_q, side="right")
         counts = hi - lo
+        w = int(max(counts.max() if len(e) else 0, 1))
+        filt = np.repeat(e[:, 1].astype(np.int32)[:, None], w, axis=1)
         total = int(counts.sum())
-        if total == 0:
-            return np.zeros(len(e), np.int64)
-        # (query, known-tail) pair list without per-query padding: ragged
-        # lists flattened via the repeat-offset trick.
-        qidx = np.repeat(np.arange(len(e), dtype=np.int64), counts)
-        base = np.repeat(np.cumsum(counts) - counts, counts)
-        pos = np.repeat(lo, counts) + (np.arange(total) - base)
-        ft = tails_sorted[pos]
-        s_true = self._scored_triples(e[:, 0], e[:, 1], e[:, 2])
-        s_f = self._scored_triples(e[qidx, 0], ft, e[qidx, 2])
-        higher = (s_f > s_true[qidx]).astype(np.int64)
-        return np.bincount(qidx, weights=higher, minlength=len(e)) \
-            .astype(np.int64)
+        if total:
+            # Ragged lists flattened via the repeat-offset trick.
+            qidx = np.repeat(np.arange(len(e), dtype=np.int64), counts)
+            base = np.repeat(np.cumsum(counts) - counts, counts)
+            slot = np.arange(total) - base
+            pos = np.repeat(lo, counts) + slot
+            filt[qidx, slot] = tails_sorted[pos]
+        return filt
 
     def compute_filtered_ranking_metrics(
         self, known_triples: np.ndarray,
         k_values: Optional[Sequence[int]] = None,
-        *, sharded: Optional[bool] = None,
     ) -> Dict[str, float]:
         """Filtered ranking metrics (Bordes et al. protocol): candidates
         that are THEMSELVES true tails of (h, r) anywhere in
         ``known_triples`` (train/val/test union) do not count against the
-        test tail's rank. The query's own tail never filters itself (its
-        score is never strictly higher than itself). The reference
-        evaluates raw ranks only — this is a framework extension.
-        """
+        test tail's rank. The reference evaluates raw ranks only — this
+        is a framework extension. Dense evaluator path only: the combined
+        kernel gathers filter scores from the ranker's own [B, N] score
+        rows (shard_encode='none'; the batch already materializes those
+        rows, so the [B, W] filter gather is marginal)."""
+        if self._node_emb is None:
+            raise ValueError(
+                "filtered ranking needs the dense evaluator "
+                "(shard_encode='none'): the exact-tie filter gather reads "
+                "the ranker's own score rows, which the fully-sharded "
+                "path never materializes")
         k_values = list(k_values or self.cfg.k_values)
-        ranks = self._compute_raw_ranks(sharded)
-        adj = self._filter_adjustment(known_triples)
-        franks = ranks - adj
+        e = self.test_edges
+        n = e.shape[0]
+        b = self.cfg.batch_size
+        filt = self._filter_lists(known_triples)
+        rank_fn = jax.jit(self._rank_filtered_impl)
+        n_pad = -(-n // b) * b
+        pad = n_pad - n
+        ep = np.concatenate([e, np.zeros((pad, 3), e.dtype)], axis=0)
+        fp = np.concatenate(
+            [filt, np.zeros((pad, filt.shape[1]), filt.dtype)], axis=0)
+        raws, franks = [], []
+        for start in range(0, n_pad, b):
+            chunk = ep[start:start + b]
+            raw, frk = rank_fn(jnp.asarray(chunk[:, 0]),
+                               jnp.asarray(chunk[:, 2]),
+                               jnp.asarray(chunk[:, 1]),
+                               jnp.asarray(fp[start:start + b]))
+            raws.append(np.asarray(raw))
+            franks.append(np.asarray(frk))
+        raws = np.concatenate(raws)[:n]
+        franks = np.concatenate(franks)[:n]
+        if self._raw_ranks is None:
+            # Same matmul, same comparisons — cache so evaluate() does not
+            # re-rank through the plain kernel.
+            self._raw_ranks = raws
         if len(franks) and franks.min() < 1:
             raise AssertionError(
-                "filtered rank < 1: adjustment exceeded raw rank (tie "
-                "semantics drifted between the ranker and the scorer)")
+                "filtered rank < 1: adjustment exceeded raw rank despite "
+                "single-tensor gathers — investigate")
         return ranking_metrics_from_ranks(franks, k_values)
 
     def evaluate(self, known_triples: Optional[np.ndarray] = None) -> Dict:
@@ -282,6 +311,11 @@ class Evaluator:
         :meth:`compute_filtered_ranking_metrics`)."""
         scores, labels = self.compute_scores_and_labels()
         cls = classification_metrics(scores, labels)
+        filtered = None
+        if known_triples is not None:
+            # First: its combined kernel also caches the raw ranks, so
+            # both blocks come from one score tensor per batch.
+            filtered = self.compute_filtered_ranking_metrics(known_triples)
         rnk = self.compute_ranking_metrics()
         out = {
             "classification": cls,
@@ -289,9 +323,8 @@ class Evaluator:
             "test_edges": int(self.test_edges.shape[0]),
             "num_nodes": int(self.graph.num_nodes),
         }
-        if known_triples is not None:
-            out["ranking_filtered"] = self.compute_filtered_ranking_metrics(
-                known_triples)
+        if filtered is not None:
+            out["ranking_filtered"] = filtered
         return out
 
 

@@ -176,19 +176,25 @@ def test_filtered_ranking_matches_bruteforce():
     # so the filter actually bites (same head+rel, different tails).
     extra = test_edges.copy()
     extra[:, 1] = rng.integers(0, n, 50)
-    known = np.concatenate([test_edges, extra])
+    # Duplicate triples on purpose: multigraph data repeats (h, r, t) and
+    # the adjustment must count each candidate once.
+    known = np.concatenate([test_edges, extra, extra, test_edges])
 
     ev = Evaluator(params, cfg, graph, test_edges,
                    EvalConfig(batch_size=16, k_values=(10,)))
-    got = ev.compute_filtered_ranking_metrics(known, sharded=False)
+    got = ev.compute_filtered_ranking_metrics(known)
 
-    # Brute force from the evaluator's own embeddings (sigmoid monotone,
-    # comparisons identical to the ranker's raw scores).
-    emb = np.asarray(ev._node_emb)
-    rel = np.asarray(ev._rel_emb)
+    # Brute force over the ranker's OWN score matrix (fetched once), so
+    # strict comparisons are bit-identical to the kernel's.
+    import jax.numpy as jnp
+    from primekg_rgcn_tpu.ops.distmult import distmult_score_all_tails
+
+    h_all = jnp.take(ev._node_emb, jnp.asarray(test_edges[:, 0]), axis=0)
+    r_all = jnp.take(ev._rel_emb, jnp.asarray(test_edges[:, 2]), axis=0)
+    smat = np.asarray(distmult_score_all_tails(h_all, r_all, ev._node_emb))
     franks = []
-    for h, t, rr in test_edges:
-        s = (emb[h] * rel[rr]) @ emb.T  # [N]
+    for i, (h, t, rr) in enumerate(test_edges):
+        s = smat[i]
         keep = np.ones(n, bool)
         tails = known[(known[:, 0] == h) & (known[:, 2] == rr), 1]
         keep[tails] = False
