@@ -33,6 +33,11 @@ def parse_args(argv=None):
                         "node-partitioned encode feeds device-major "
                         "rank/score kernels; no device materializes the "
                         "[N, D] table (for graphs that exceed one chip)")
+    p.add_argument("--rank_direction", choices=["tail", "both"],
+                   default="tail",
+                   help="both: also rank HEADS given (r, t) and report "
+                        "head / head+tail-averaged blocks (the common KG "
+                        "convention; the reference ranks tails only)")
     p.add_argument("--filtered", action="store_true",
                    help="also report FILTERED ranking metrics (known true "
                         "tails of (h, r) across all splits removed from "
@@ -103,7 +108,8 @@ def main(argv=None):
                      for k in ("train", "val", "test") if ds.get(k)]
             known = np.concatenate(parts) if parts else test_edges
         log.info("Filtered ranking over %d known triples", len(known))
-    metrics = evaluator.evaluate(known_triples=known)
+    metrics = evaluator.evaluate(known_triples=known,
+                                 rank_direction=args.rank_direction)
 
     model_info = {
         "checkpoint_path": str(args.model_path),

@@ -61,7 +61,7 @@ class Evaluator:
         self.layer_fn = layer_fn or rgcn_layer_segment
         self.scores: Optional[np.ndarray] = None
         self.labels: Optional[np.ndarray] = None
-        self._raw_ranks: Optional[np.ndarray] = None
+        self._raw_ranks: Dict[str, Optional[np.ndarray]] = {}
         self._rel_emb = params["decoder"]["rel_emb"]
 
         if shard_encode == "node" and len(jax.devices()) < 2:
@@ -148,11 +148,21 @@ class Evaluator:
         self.labels = np.concatenate(all_labels)
         return self.scores, self.labels
 
-    def _compute_raw_ranks(self, sharded: Optional[bool] = None) -> np.ndarray:
-        """1-indexed raw rank of every test edge's true tail (cached)."""
-        if self._raw_ranks is not None:
-            return self._raw_ranks
+    def _compute_raw_ranks(self, sharded: Optional[bool] = None,
+                           direction: str = "tail") -> np.ndarray:
+        """1-indexed raw rank of every test edge's true tail (cached).
+
+        ``direction="head"`` ranks the HEAD against all entities given
+        (r, t): DistMult is symmetric in (h, t), so head ranking is tail
+        ranking with the endpoints swapped — one kernel serves both.
+        """
+        if direction not in ("tail", "head"):
+            raise ValueError(f"unknown rank direction {direction!r}")
+        if self._raw_ranks.get(direction) is not None:
+            return self._raw_ranks[direction]
         e = self.test_edges
+        if direction == "head":
+            e = e[:, [1, 0, 2]]  # score symmetry: swap the endpoints
         n = e.shape[0]
         b = self.cfg.batch_size
 
@@ -183,19 +193,27 @@ class Evaluator:
                          jnp.asarray(chunk[:, 2]),
                          jnp.asarray(chunk[:, 1]))
             ranks.append(np.asarray(rk))
-        self._raw_ranks = np.concatenate(ranks)[:n]
-        return self._raw_ranks
+        self._raw_ranks[direction] = np.concatenate(ranks)[:n]
+        return self._raw_ranks[direction]
 
     def compute_ranking_metrics(
         self, k_values: Optional[Sequence[int]] = None,
-        *, sharded: Optional[bool] = None,
+        *, sharded: Optional[bool] = None, direction: str = "tail",
     ) -> Dict[str, float]:
         """Raw ranking metrics. When several devices are visible (and
         ``sharded`` is not explicitly False), the all-tails scoring shards
         the entity axis across the mesh (evaluate/sharded_ranking.py) —
-        required when B x N score rows stop fitting one chip."""
+        required when B x N score rows stop fitting one chip.
+
+        ``direction``: "tail" (the reference's protocol), "head", or
+        "both" (per-query average of head and tail ranks — the common KG
+        reporting convention)."""
         k_values = list(k_values or self.cfg.k_values)
-        ranks = self._compute_raw_ranks(sharded)
+        if direction == "both":
+            ranks = np.concatenate([self._compute_raw_ranks(sharded, "tail"),
+                                    self._compute_raw_ranks(sharded, "head")])
+        else:
+            ranks = self._compute_raw_ranks(sharded, direction)
         return ranking_metrics_from_ranks(ranks, k_values)
 
     # -- filtered ranking (extension; the reference ranks raw only,
@@ -221,11 +239,16 @@ class Evaluator:
         adj = jnp.sum(fs > s_true, axis=1)  # own-tail pads are exact ties
         return raw, raw - adj
 
-    def _filter_lists(self, known_triples: np.ndarray):
+    def _filter_lists(self, known_triples: np.ndarray,
+                      direction: str = "tail"):
         """int32[n_test, W] known-true-tail lists per test query, padded
-        with the query's own tail (an exact tie — contributes 0)."""
+        with the query's own tail (an exact tie — contributes 0).
+        ``direction="head"``: known heads of (r, t), endpoints swapped."""
         e = self.test_edges
         kt = np.asarray(known_triples, dtype=np.int64)  # [K, 3] (h, t, r)
+        if direction == "head":
+            e = e[:, [1, 0, 2]]
+            kt = kt[:, [1, 0, 2]]
         r_count = int(max(self.model_cfg.num_relations,
                           kt[:, 2].max() + 1 if len(kt) else 1))
         # Dedupe triples: multigraph data (and bidirected unions) repeat
@@ -257,6 +280,7 @@ class Evaluator:
     def compute_filtered_ranking_metrics(
         self, known_triples: np.ndarray,
         k_values: Optional[Sequence[int]] = None,
+        direction: str = "tail",
     ) -> Dict[str, float]:
         """Filtered ranking metrics (Bordes et al. protocol): candidates
         that are THEMSELVES true tails of (h, r) anywhere in
@@ -273,10 +297,22 @@ class Evaluator:
                 "the ranker's own score rows, which the fully-sharded "
                 "path never materializes")
         k_values = list(k_values or self.cfg.k_values)
+        if direction == "both":
+            ranks = np.concatenate([
+                self._filtered_ranks(known_triples, "tail"),
+                self._filtered_ranks(known_triples, "head")])
+            return ranking_metrics_from_ranks(ranks, k_values)
+        return ranking_metrics_from_ranks(
+            self._filtered_ranks(known_triples, direction), k_values)
+
+    def _filtered_ranks(self, known_triples: np.ndarray,
+                        direction: str) -> np.ndarray:
         e = self.test_edges
+        if direction == "head":
+            e = e[:, [1, 0, 2]]
         n = e.shape[0]
         b = self.cfg.batch_size
-        filt = self._filter_lists(known_triples)
+        filt = self._filter_lists(known_triples, direction)
         rank_fn = jax.jit(self._rank_filtered_impl)
         n_pad = -(-n // b) * b
         pad = n_pad - n
@@ -294,21 +330,23 @@ class Evaluator:
             franks.append(np.asarray(frk))
         raws = np.concatenate(raws)[:n]
         franks = np.concatenate(franks)[:n]
-        if self._raw_ranks is None:
+        if self._raw_ranks.get(direction) is None:
             # Same matmul, same comparisons — cache so evaluate() does not
             # re-rank through the plain kernel.
-            self._raw_ranks = raws
+            self._raw_ranks[direction] = raws
         if len(franks) and franks.min() < 1:
             raise AssertionError(
                 "filtered rank < 1: adjustment exceeded raw rank despite "
                 "single-tensor gathers — investigate")
-        return ranking_metrics_from_ranks(franks, k_values)
+        return franks
 
-    def evaluate(self, known_triples: Optional[np.ndarray] = None) -> Dict:
+    def evaluate(self, known_triples: Optional[np.ndarray] = None,
+                 rank_direction: str = "tail") -> Dict:
         """Full evaluation dict in the reference's results.json schema
         (reference: src/evaluate.py:341-385). ``known_triples`` adds a
-        ``ranking_filtered`` block (an extension; see
-        :meth:`compute_filtered_ranking_metrics`)."""
+        ``ranking_filtered`` block; ``rank_direction="both"`` adds
+        ``ranking_head`` / ``ranking_both`` (+ filtered variants) — both
+        extensions; the reference ranks raw tails only."""
         scores, labels = self.compute_scores_and_labels()
         cls = classification_metrics(scores, labels)
         filtered = None
@@ -325,6 +363,21 @@ class Evaluator:
         }
         if filtered is not None:
             out["ranking_filtered"] = filtered
+        if rank_direction == "both":
+            out["ranking_head"] = self.compute_ranking_metrics(
+                direction="head")
+            out["ranking_both"] = self.compute_ranking_metrics(
+                direction="both")
+            if known_triples is not None:
+                out["ranking_filtered_head"] = \
+                    self.compute_filtered_ranking_metrics(
+                        known_triples, direction="head")
+                out["ranking_filtered_both"] = \
+                    self.compute_filtered_ranking_metrics(
+                        known_triples, direction="both")
+        elif rank_direction != "tail":
+            raise ValueError(f"rank_direction {rank_direction!r} — "
+                             f"use 'tail' (reference protocol) or 'both'")
         return out
 
 
@@ -351,10 +404,18 @@ def save_results(metrics: Dict, output_dir, model_info: Optional[Dict] = None):
         f.write("\nRanking Metrics:\n" + "-" * 60 + "\n")
         for k, v in metrics["ranking"].items():
             f.write(f"{k}: {v:.4f}\n")
-        if "ranking_filtered" in metrics:
-            f.write("\nFiltered Ranking Metrics (known true tails removed "
-                    "from candidates):\n" + "-" * 60 + "\n")
-            for k, v in metrics["ranking_filtered"].items():
-                f.write(f"{k}: {v:.4f}\n")
+        titles = {
+            "ranking_filtered": "Filtered Ranking Metrics (known true "
+                                "tails removed from candidates)",
+            "ranking_head": "Head Ranking Metrics",
+            "ranking_both": "Head+Tail Ranking Metrics",
+            "ranking_filtered_head": "Filtered Head Ranking Metrics",
+            "ranking_filtered_both": "Filtered Head+Tail Ranking Metrics",
+        }
+        for key, title in titles.items():
+            if key in metrics:
+                f.write(f"\n{title}:\n" + "-" * 60 + "\n")
+                for k, v in metrics[key].items():
+                    f.write(f"{k}: {v:.4f}\n")
         f.write("\n" + "=" * 60 + "\n")
     logger.info("Saved results to %s", output_dir)

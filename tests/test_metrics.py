@@ -208,3 +208,47 @@ def test_filtered_ranking_matches_bruteforce():
     m = ev.evaluate(known_triples=known)
     assert "ranking_filtered" in m
     assert m["ranking_filtered"]["mrr"] >= m["ranking"]["mrr"] - 1e-12
+
+
+def test_head_direction_ranking_symmetry():
+    """DistMult is (h, t)-symmetric, so head ranking must equal tail
+    ranking on endpoint-swapped test edges; 'both' averages the two rank
+    populations. Filtered variants obey the same swap."""
+    import jax
+    from primekg_rgcn_tpu.config import EvalConfig, ModelConfig
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.evaluate.evaluator import Evaluator
+    from primekg_rgcn_tpu.models.rgcn import init_params
+
+    rng = np.random.default_rng(11)
+    n, r, e = 50, 3, 300
+    graph = build_rel_graph(rng.integers(0, n, e), rng.integers(0, n, e),
+                            rng.integers(0, r, e), n, r,
+                            bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    te = np.stack([rng.integers(0, n, 40), rng.integers(0, n, 40),
+                   rng.integers(0, r, 40)], axis=1).astype(np.int32)
+    known = te.copy()
+
+    ev = Evaluator(params, cfg, graph, te,
+                   EvalConfig(batch_size=16, k_values=(10,)))
+    ev_sw = Evaluator(params, cfg, graph, te[:, [1, 0, 2]],
+                      EvalConfig(batch_size=16, k_values=(10,)))
+    assert ev.compute_ranking_metrics(direction="head", sharded=False) == \
+        ev_sw.compute_ranking_metrics(sharded=False)
+    m_both = ev.compute_ranking_metrics(direction="both", sharded=False)
+    mrr_t = ev.compute_ranking_metrics(sharded=False)["mrr"]
+    mrr_h = ev.compute_ranking_metrics(direction="head",
+                                       sharded=False)["mrr"]
+    assert m_both["mrr"] == pytest.approx((mrr_t + mrr_h) / 2)
+    # Filtered head == filtered tail on the swapped evaluator+known set.
+    fh = ev.compute_filtered_ranking_metrics(known, direction="head")
+    ft_sw = ev_sw.compute_filtered_ranking_metrics(known[:, [1, 0, 2]])
+    assert fh == ft_sw
+    # evaluate() wires the blocks.
+    m = ev.evaluate(known_triples=known, rank_direction="both")
+    for key in ("ranking_head", "ranking_both", "ranking_filtered_head",
+                "ranking_filtered_both"):
+        assert key in m, key
