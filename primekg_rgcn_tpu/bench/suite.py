@@ -354,6 +354,10 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
                                                      mode="block"),
     "sampled-10m-block-pallas-15-10": lambda: bench_sampled(
         (15, 10), "rmat-10m", mode="block", window_impl="pallas"),
+    # Budget-quality sweep (docs/KERNELS.md Round 4) showed 8/5 == 15/10
+    # quality at qualification scale; the step is ~70% row-fetch floor,
+    # cost ~linear in the budget product — measure the speed side here.
+    "sampled-10m-8-5": lambda: bench_sampled((8, 5), "rmat-10m"),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),
