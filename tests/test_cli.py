@@ -77,6 +77,23 @@ def test_train_then_evaluate_cli(tiny_dataset):
         assert (results_dir / png).exists()
     assert (results_dir / "metrics_summary.txt").exists()
 
+    # Extensions: --filtered + --rank_direction both add their blocks
+    # (and only then — the default contract above has exactly the
+    # reference's keys).
+    assert "ranking_filtered" not in saved["metrics"]
+    filt_dir = tiny_dataset / "results_filtered"
+    m2 = eval_main(["--model_path", str(out / "models" / "best_model"),
+                    "--data_dir", str(tiny_dataset / "processed"),
+                    "--output_dir", str(filt_dir),
+                    "--batch_size", "64",
+                    "--filtered", "--rank_direction", "both"])
+    for key in ("ranking_filtered", "ranking_head", "ranking_both",
+                "ranking_filtered_head", "ranking_filtered_both"):
+        assert key in m2, key
+    assert m2["ranking_filtered"]["mrr"] >= m2["ranking"]["mrr"] - 1e-12
+    summary = (filt_dir / "metrics_summary.txt").read_text()
+    assert "Filtered Ranking Metrics" in summary
+
 
 def test_train_resume_cli(tiny_dataset):
     from primekg_rgcn_tpu.train.cli import main as train_main
