@@ -192,30 +192,40 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
     # combined-neighborhood on relation-sparse full PrimeKG. At 10M nodes
     # the sparse-embedding step drops the dense [N, 64] table gradient
     # (2.56 GB) and the full-table SGD stream from the per-step live set.
+    import os
+
+    prev_impl = os.environ.get("PRIMEKG_WINDOW_IMPL")
     if window_impl is not None:
         # Pin the block-mode window-fetch implementation for this row
         # (ops/pallas/window_fetch.py reads the env at trace time).
-        import os
-
+        # Restored in the finally below — a leaked value would silently
+        # pin every later block-mode row in the same suite process.
         os.environ["PRIMEKG_WINDOW_IMPL"] = window_impl
-    step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
-                                       fanouts=fanouts, sparse_emb=big,
-                                       mode=mode)
+    try:
+        step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
+                                           fanouts=fanouts, sparse_emb=big,
+                                           mode=mode)
 
-    edges = np.stack([src, dst, rel], 1).astype(np.int32)
-    rng = np.random.default_rng(0)
-    holder = {"state": TrainState(params, opt.init(params),
-                                  jnp.zeros((), jnp.int32)),
-              "key": jax.random.PRNGKey(0)}
+        edges = np.stack([src, dst, rel], 1).astype(np.int32)
+        rng = np.random.default_rng(0)
+        holder = {"state": TrainState(params, opt.init(params),
+                                      jnp.zeros((), jnp.int32)),
+                  "key": jax.random.PRNGKey(0)}
 
-    def step(i):
-        holder["key"], k = jax.random.split(holder["key"])
-        idx = rng.integers(0, len(edges), tcfg.batch_size)
-        holder["state"], (loss, _) = step_fn(holder["state"],
-                                             jnp.asarray(edges[idx]), k)
-        return loss
+        def step(i):
+            holder["key"], k = jax.random.split(holder["key"])
+            idx = rng.integers(0, len(edges), tcfg.batch_size)
+            holder["state"], (loss, _) = step_fn(holder["state"],
+                                                 jnp.asarray(edges[idx]), k)
+            return loss
 
-    dt = _timed_steps(step, 30)
+        dt = _timed_steps(step, 30)
+    finally:
+        if window_impl is not None:
+            if prev_impl is None:
+                os.environ.pop("PRIMEKG_WINDOW_IMPL", None)
+            else:
+                os.environ["PRIMEKG_WINDOW_IMPL"] = prev_impl
     return {"step_ms": round(dt * 1e3, 2),
             "edges_per_s": round(tcfg.batch_size / dt, 1),
             "vs_baseline": round(

@@ -43,7 +43,16 @@ def parse_args(argv=None):
                         "tails of (h, r) across all splits removed from "
                         "the candidate set — the standard KG protocol; "
                         "the reference reports raw ranks only)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.filtered and args.shard == "node":
+        # Fail fast: the filtered adjustment gathers from the dense
+        # ranker's own [B, N] score rows, which the fully-sharded path
+        # never materializes. Without this check the incompatibility only
+        # surfaced after the full node-sharded encode had already run.
+        p.error("--filtered needs the dense evaluator (--shard none): "
+                "the exact-tie filter gather reads the ranker's own score "
+                "rows, which the fully-sharded path never materializes")
+    return args
 
 
 def main(argv=None):

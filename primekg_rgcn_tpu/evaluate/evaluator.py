@@ -61,7 +61,10 @@ class Evaluator:
         self.layer_fn = layer_fn or rgcn_layer_segment
         self.scores: Optional[np.ndarray] = None
         self.labels: Optional[np.ndarray] = None
-        self._raw_ranks: Dict[str, Optional[np.ndarray]] = {}
+        # Keyed (direction, resolved_sharded): the dense and sharded
+        # rankers are different kernels, so a direction-only key would
+        # serve one's ranks for the other after the first call.
+        self._raw_ranks: Dict[tuple, Optional[np.ndarray]] = {}
         self._rel_emb = params["decoder"]["rel_emb"]
 
         if shard_encode == "node" and len(jax.devices()) < 2:
@@ -158,22 +161,25 @@ class Evaluator:
         """
         if direction not in ("tail", "head"):
             raise ValueError(f"unknown rank direction {direction!r}")
-        if self._raw_ranks.get(direction) is not None:
-            return self._raw_ranks[direction]
+        if self._node_emb is None:
+            # shard_encode="node": _rank_batch already IS the fully-sharded
+            # ranker over the device-major table; there is only one kernel.
+            sharded = False
+        elif sharded is None:
+            sharded = len(jax.devices()) > 1
+        else:
+            sharded = bool(sharded) and len(jax.devices()) > 1
+        cache_key = (direction, sharded)
+        if self._raw_ranks.get(cache_key) is not None:
+            return self._raw_ranks[cache_key]
         e = self.test_edges
         if direction == "head":
             e = e[:, [1, 0, 2]]  # score symmetry: swap the endpoints
         n = e.shape[0]
         b = self.cfg.batch_size
 
-        if sharded is None:
-            sharded = len(jax.devices()) > 1
         rank_fn = self._rank_batch
-        if self._node_emb is None:
-            # shard_encode="node": _rank_batch already IS the fully-sharded
-            # ranker over the device-major table.
-            sharded = False
-        if sharded and len(jax.devices()) > 1:
+        if sharded:
             from primekg_rgcn_tpu.evaluate.sharded_ranking import (
                 build_sharded_ranker,
             )
@@ -193,8 +199,8 @@ class Evaluator:
                          jnp.asarray(chunk[:, 2]),
                          jnp.asarray(chunk[:, 1]))
             ranks.append(np.asarray(rk))
-        self._raw_ranks[direction] = np.concatenate(ranks)[:n]
-        return self._raw_ranks[direction]
+        self._raw_ranks[cache_key] = np.concatenate(ranks)[:n]
+        return self._raw_ranks[cache_key]
 
     def compute_ranking_metrics(
         self, k_values: Optional[Sequence[int]] = None,
@@ -330,10 +336,12 @@ class Evaluator:
             franks.append(np.asarray(frk))
         raws = np.concatenate(raws)[:n]
         franks = np.concatenate(franks)[:n]
-        if self._raw_ranks.get(direction) is None:
-            # Same matmul, same comparisons — cache so evaluate() does not
-            # re-rank through the plain kernel.
-            self._raw_ranks[direction] = raws
+        if self._raw_ranks.get((direction, False)) is None:
+            # Same matmul, same comparisons as the DENSE ranker — cache
+            # under the dense key so a later non-sharded rank request is
+            # served without re-ranking (a sharded request still runs the
+            # sharded kernel; the two must not share a cache slot).
+            self._raw_ranks[(direction, False)] = raws
         if len(franks) and franks.min() < 1:
             raise AssertionError(
                 "filtered rank < 1: adjustment exceeded raw rank despite "
@@ -347,12 +355,18 @@ class Evaluator:
         ``ranking_filtered`` block; ``rank_direction="both"`` adds
         ``ranking_head`` / ``ranking_both`` (+ filtered variants) — both
         extensions; the reference ranks raw tails only."""
+        if rank_direction not in ("tail", "both"):
+            # Fail before any compute — an invalid value used to surface
+            # only in the trailing elif, after the full evaluation ran.
+            raise ValueError(f"rank_direction {rank_direction!r} — "
+                             f"use 'tail' (reference protocol) or 'both'")
         scores, labels = self.compute_scores_and_labels()
         cls = classification_metrics(scores, labels)
         filtered = None
         if known_triples is not None:
-            # First: its combined kernel also caches the raw ranks, so
-            # both blocks come from one score tensor per batch.
+            # First: its combined kernel also caches the (dense) raw
+            # ranks, so on a single-device runtime both blocks come from
+            # one score tensor per batch.
             filtered = self.compute_filtered_ranking_metrics(known_triples)
         rnk = self.compute_ranking_metrics()
         out = {
@@ -375,9 +389,6 @@ class Evaluator:
                 out["ranking_filtered_both"] = \
                     self.compute_filtered_ranking_metrics(
                         known_triples, direction="both")
-        elif rank_direction != "tail":
-            raise ValueError(f"rank_direction {rank_direction!r} — "
-                             f"use 'tail' (reference protocol) or 'both'")
         return out
 
 

@@ -146,7 +146,12 @@ def test_evaluator_sharded_ranking_matches_single():
                            rng.integers(0, r, 100)], axis=1)
     ev = Evaluator(params, cfg, graph, test_edges, EvalConfig(batch_size=32))
     m_single = ev.compute_ranking_metrics(sharded=False)
+    # The rank cache is keyed (direction, resolved-sharded), so this call
+    # MUST run the sharded ranker rather than replay the dense ranks (a
+    # direction-only cache key once made this comparison vacuous).
+    assert ("tail", True) not in ev._raw_ranks
     m_sharded = ev.compute_ranking_metrics(sharded=True)
+    assert ("tail", True) in ev._raw_ranks and ("tail", False) in ev._raw_ranks
     assert m_single == m_sharded
 
 
