@@ -59,6 +59,12 @@ class ShardedGraph(NamedTuple):
     # stacked; None entries fall back to the XLA segment-sum. See
     # shard_rel_graph(pallas=True).
     sched: object = None
+    # norm_mode="edge" graphs: per-edge reciprocal-degree scales in local
+    # (src, dst) and local transpose order, float32[n_devices, E_local]
+    # (None for dense-norm graphs). The scales carry the GLOBAL degrees, so
+    # normalized local partials still psum exactly.
+    scale: object = None
+    t_scale: object = None
 
 
 def shard_rel_graph(graph: RelGraph, n_devices: int,
@@ -79,17 +85,16 @@ def shard_rel_graph(graph: RelGraph, n_devices: int,
     from primekg_rgcn_tpu.ops.pallas.segment_sum import (
         SEG_K, build_schedule_arrays, stack_schedules)
 
-    if graph.norm_mode != "dense":
-        raise NotImplementedError(
-            "edge-sharded execution currently requires dense normalization; "
-            "build the graph with norm='dense'")
     src = np.asarray(graph.src)
     dst = np.asarray(graph.dst)
+    edge_norm = graph.norm_mode == "edge"
+    if edge_norm:
+        g_scale = np.asarray(graph.edge_scale)
     sentinel = graph.num_nodes
     n_seg = graph.num_nodes + 1
     align = SEG_K * n_devices if pallas else n_devices
 
-    per_dev = [([], [], [], []) for _ in range(n_devices)]
+    per_dev = [([], [], [], [], [], []) for _ in range(n_devices)]
     local_offsets = [0]
     sched = [] if pallas else None
     for r in range(graph.num_relations):
@@ -101,6 +106,11 @@ def shard_rel_graph(graph: RelGraph, n_devices: int,
         bdst = np.full(cap_pad, sentinel, np.int32)
         bsrc[:cap] = src[s:e]
         bdst[:cap] = dst[s:e]
+        if edge_norm:
+            # Scales ride with their edges; sentinel/extra pad rows get 0
+            # (graph-level padding inside [0, cap) is already 0).
+            bscale = np.zeros(cap_pad, np.float32)
+            bscale[:cap] = g_scale[s:e]
         fwd_s, bwd_s = [], []
         for d in range(n_devices):
             ls = bsrc[d * loc:(d + 1) * loc]
@@ -110,6 +120,12 @@ def shard_rel_graph(graph: RelGraph, n_devices: int,
             per_dev[d][1].append(ld)
             per_dev[d][2].append(ls[t_order])
             per_dev[d][3].append(ld[t_order])
+            if edge_norm:
+                lscale = bscale[d * loc:(d + 1) * loc]
+                per_dev[d][4].append(lscale)
+                # The LOCAL transpose order differs from the global bucket's
+                # t_edge_scale order — re-derive it from the local chunk.
+                per_dev[d][5].append(lscale[t_order])
             if pallas and loc:
                 fwd_s.append(build_schedule_arrays(ld, n_seg))
                 bwd_s.append(build_schedule_arrays(ls[t_order], n_seg))
@@ -133,6 +149,8 @@ def shard_rel_graph(graph: RelGraph, n_devices: int,
         num_nodes=graph.num_nodes,
         num_relations=graph.num_relations,
         sched=tuple(sched) if pallas else None,
+        scale=stack(4) if edge_norm else None,
+        t_scale=stack(5) if edge_norm else None,
     )
 
 
@@ -161,7 +179,14 @@ def rgcn_layer_edge_sharded(
     """
     from primekg_rgcn_tpu.ops.rgcn_segment import make_gather_segment_sum
 
-    local_src, local_dst, local_tsrc, local_tdst = local_edges
+    # 4-tuple: dense-norm graph; 6-tuple: edge-norm graph — the per-edge
+    # reciprocal-degree scales (global degrees) ride in the shard.
+    local_scale = local_tscale = None
+    if len(local_edges) == 6:
+        (local_src, local_dst, local_tsrc, local_tdst,
+         local_scale, local_tscale) = local_edges
+    else:
+        local_src, local_dst, local_tsrc, local_tdst = local_edges
     n = sg.num_nodes
     w_rel = materialize_relation_weights(layer_params).astype(compute_dtype)
     din, dout = w_rel.shape[1], w_rel.shape[2]
@@ -185,15 +210,20 @@ def rgcn_layer_edge_sharded(
             local_src[s:e], local_dst[s:e],
             local_tsrc[s:e], local_tdst[s:e], n + 1,
             mxu_dtype=mxu_dtype,
+            scale=None if local_scale is None else local_scale[s:e],
+            t_scale=None if local_tscale is None else local_tscale[s:e],
             sched=None if r_sched is None else r_sched[0],
             t_sched=None if r_sched is None else r_sched[1])
-        inv_deg = sg.inv_in_deg[r][:n, None].astype(compute_dtype)
-        if aggregate_first:
-            partials.append(agg_op(x_pad).astype(compute_dtype)[:n]
-                            * inv_deg)
+        if local_scale is None:
+            inv_deg = sg.inv_in_deg[r][:n, None].astype(compute_dtype)
         else:
-            partials.append(agg_op(x_pad @ w_rel[r]).astype(
-                compute_dtype)[:n] * inv_deg)
+            inv_deg = None  # mean norm already applied per message
+        if aggregate_first:
+            p = agg_op(x_pad).astype(compute_dtype)[:n]
+            partials.append(p if inv_deg is None else p * inv_deg)
+        else:
+            p = agg_op(x_pad @ w_rel[r]).astype(compute_dtype)[:n]
+            partials.append(p if inv_deg is None else p * inv_deg)
 
     if aggregate_first:
         # psum the [R, N, Din] normalized partial aggregates in one
@@ -354,7 +384,8 @@ def build_sharded_train_step(
     edge_sharding = NamedSharding(mesh, P(axis_name))
     edge_arrays = tuple(
         jax.device_put(a, edge_sharding)
-        for a in (sg.src, sg.dst, sg.t_src, sg.t_dst))
+        for a in (sg.src, sg.dst, sg.t_src, sg.t_dst)
+        + ((sg.scale, sg.t_scale) if sg.scale is not None else ()))
     sched_arrays = jax.tree_util.tree_map(
         lambda a: jax.device_put(jnp.asarray(a), edge_sharding), sg.sched)
 
@@ -403,8 +434,10 @@ def build_sharded_forward(
                                 local_sched=local_sched)
 
     edge_sharding = NamedSharding(mesh, P(axis_name))
-    edge_arrays = tuple(jax.device_put(a, edge_sharding)
-                        for a in (sg.src, sg.dst, sg.t_src, sg.t_dst))
+    edge_arrays = tuple(
+        jax.device_put(a, edge_sharding)
+        for a in (sg.src, sg.dst, sg.t_src, sg.t_dst)
+        + ((sg.scale, sg.t_scale) if sg.scale is not None else ()))
     sched_arrays = jax.tree_util.tree_map(
         lambda a: jax.device_put(jnp.asarray(a), edge_sharding), sg.sched)
 

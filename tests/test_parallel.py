@@ -269,3 +269,103 @@ def test_sharded_pallas_sparse_bucket_falls_back():
     single = encoder_apply(params, graph, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(single),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_edge_norm_graph_edge_sharded_matches_dense_norm():
+    """norm_mode="edge" graphs (auto-picked for relation-dense/large graphs,
+    data/graph.py:_pick_norm) must run edge-sharded: the per-edge scales are
+    partitioned with the buckets and the result matches the dense-norm
+    sharded encode AND the single-device path exactly."""
+    rng = np.random.default_rng(11)
+    num_nodes, num_relations, num_edges = 64, 3, 500
+    src = rng.integers(0, num_nodes, num_edges)
+    dst = rng.integers(0, num_nodes, num_edges)
+    rel = rng.integers(0, num_relations, num_edges)
+    g_dense = build_rel_graph(src, dst, rel, num_nodes, num_relations,
+                              bucket_pad_multiple=32, norm="dense")
+    g_edge = build_rel_graph(src, dst, rel, num_nodes, num_relations,
+                             bucket_pad_multiple=32, norm="edge")
+    assert g_edge.norm_mode == "edge"
+    cfg = ModelConfig(num_nodes=num_nodes, num_relations=num_relations,
+                      embedding_dim=8, hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg_e = shard_rel_graph(g_edge, n_dev)
+    assert sg_e.scale is not None and sg_e.t_scale is not None
+    out_edge = build_sharded_forward(mesh, sg_e, cfg)(params)
+    out_dense = build_sharded_forward(
+        mesh, shard_rel_graph(g_dense, n_dev), cfg)(params)
+    out_single = encoder_apply(params, g_dense, cfg)
+    np.testing.assert_allclose(np.asarray(out_edge), np.asarray(out_dense),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_edge), np.asarray(out_single),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_edge_norm_sharded_train_step_matches_dense_norm():
+    """One edge-sharded training step over the edge-norm build of a graph
+    must produce the same loss and updated params as over the dense-norm
+    build (same batch, keys, negatives) — including the backward through the
+    scaled transpose aggregation."""
+    rng = np.random.default_rng(12)
+    num_nodes, num_relations, num_edges = 64, 3, 500
+    src = rng.integers(0, num_nodes, num_edges)
+    dst = rng.integers(0, num_nodes, num_edges)
+    rel = rng.integers(0, num_relations, num_edges)
+    cfg = ModelConfig(num_nodes=num_nodes, num_relations=num_relations,
+                      embedding_dim=8, hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    tcfg = TrainConfig(batch_size=64, lr=1e-2)
+    b = 64
+    batch = np.stack([
+        rng.integers(0, num_nodes, b), rng.integers(0, num_nodes, b),
+        rng.integers(0, num_relations, b), np.ones(b, np.int64)
+    ], axis=1).astype(np.int32)
+
+    results = {}
+    for norm in ("dense", "edge"):
+        graph = build_rel_graph(src, dst, rel, num_nodes, num_relations,
+                                bucket_pad_multiple=32, norm=norm)
+        opt = make_optimizer(tcfg)
+        step = build_sharded_train_step(
+            mesh, shard_rel_graph(graph, n_dev), cfg, tcfg, opt)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = opt.init(p)
+        p, o, (loss, _) = step(p, o, jnp.asarray(batch),
+                               jax.random.PRNGKey(7))
+        results[norm] = (p, float(loss))
+
+    assert results["edge"][1] == pytest.approx(results["dense"][1], rel=1e-6)
+    for a, c in zip(jax.tree_util.tree_leaves(results["dense"][0]),
+                    jax.tree_util.tree_leaves(results["edge"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_edge_norm_pallas_schedule_edge_sharded_matches_single():
+    """Edge-norm + host-precomputed Pallas schedules together: the scaled
+    messages flow through the run-compaction kernel path."""
+    rng = np.random.default_rng(13)
+    num_nodes, num_relations, num_edges = 64, 3, 500
+    src = rng.integers(0, num_nodes, num_edges)
+    dst = rng.integers(0, num_nodes, num_edges)
+    rel = rng.integers(0, num_relations, num_edges)
+    g_edge = build_rel_graph(src, dst, rel, num_nodes, num_relations,
+                             bucket_pad_multiple=32, norm="edge")
+    cfg = ModelConfig(num_nodes=num_nodes, num_relations=num_relations,
+                      embedding_dim=8, hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    sg = shard_rel_graph(g_edge, n_dev, pallas=True)
+    assert sg.scale is not None
+    assert sg.sched is not None and any(s is not None for s in sg.sched)
+    out = build_sharded_forward(mesh, sg, cfg)(params)
+    g_dense = build_rel_graph(src, dst, rel, num_nodes, num_relations,
+                              bucket_pad_multiple=32, norm="dense")
+    single = encoder_apply(params, g_dense, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               rtol=1e-4, atol=1e-4)
