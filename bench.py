@@ -104,11 +104,24 @@ def main():
 
     steps_per_s = n_steps / dt
     edges_per_s = steps_per_s * b
+    step_ms = dt / n_steps * 1e3
+
+    # Machine-checked roofline (docs/KERNELS.md "Roofline"): the step is
+    # DMA-gather row-count-bound. Each of the 2 layers gathers every padded
+    # edge's source row once forward and once backward (transpose graph),
+    # at the measured ~2.3 ns/row v5e DMA-engine floor regardless of row
+    # width. floor_fraction is the fraction of the measured step already at
+    # that floor — a drop means the step regressed relative to its bound.
+    gathered_rows = 4 * graph.padded_num_edges
+    floor_ms = gathered_rows * 2.3e-9 * 1e3
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 2),
+        "step_ms": round(step_ms, 2),
+        "floor_ms": round(floor_ms, 2),
+        "floor_fraction": round(floor_ms / step_ms, 3),
     }))
 
 

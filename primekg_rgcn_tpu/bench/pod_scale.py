@@ -96,7 +96,6 @@ def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
     if checkpoint:
         checkpoint(report)
     if not run_step:
-        report["step_s_cpu"] = None
         report["note"] = ("step skipped (--partition_only): simulating the "
                           "pod's total HBM exceeds host RAM at this scale; "
                           "see the half-scale entry for the executed step")
@@ -123,6 +122,7 @@ def run_pod_scale(num_nodes: int, num_edges: int, num_relations: int,
     state, (loss, acc) = step(state, batch(), jax.random.PRNGKey(2))
     float(loss)
     report["step_s_cpu"] = round(time.time() - t0, 1)
+    report["step_ms"] = round(report["step_s_cpu"] * 1e3, 1)
     report["loss"] = round(float(loss), 4)
     report["acc"] = round(float(acc), 4)
     assert np.isfinite(report["loss"])
@@ -260,6 +260,7 @@ def run_pod_scale_zero3(num_nodes: int, num_edges: int, num_relations: int,
     state, (loss, acc) = step(state, batch(), jax.random.PRNGKey(2))
     loss = float(loss)
     report["step_s_cpu"] = round(time.time() - t0, 1)
+    report["step_ms"] = round(report["step_s_cpu"] * 1e3, 1)
     report["loss"] = round(loss, 4)
     report["acc"] = round(float(acc), 4)
     assert np.isfinite(loss)

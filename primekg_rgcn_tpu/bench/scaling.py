@@ -285,6 +285,13 @@ def measure_sim_mesh(scale: float = 0.25,
                     v["edges_per_s"] / (base * int(k)), 3)
         out["layouts"][layout] = rows
 
+    # Flat normalized metric for cross-round regression tracking (the
+    # nested per-layout cells stay): the 1-device edge-layout step.
+    ref_row = out["layouts"].get("edge", {}).get("1")
+    if ref_row:
+        out["step_ms"] = ref_row["step_ms"]
+        out["edges_per_s"] = ref_row["edges_per_s"]
+
     # Analytic model at the measured scale and at full PrimeKG scale.
     out["comms_model"] = {
         str(n): comms_bytes_model(graph, model_cfg, n,

@@ -118,15 +118,27 @@ def _full_batch_config(num_bases=None, compute_dtype="float32", impl="auto",
         key_holder["state"], loss = train_step(key_holder["state"], bi, k)
         return loss
 
-    return step, b
+    return step, b, graph
+
+
+def _gather_floor_fields(graph, dt_s: float) -> Dict:
+    """Machine-checked DMA-gather roofline for the full-batch step
+    (docs/KERNELS.md "Roofline"): 2 layers x (fwd + transpose-bwd) gather
+    every padded edge's source row once, at the measured ~2.3 ns/row v5e
+    floor regardless of row width. floor_fraction = floor / measured step;
+    a drop flags a regression relative to the step's own bound."""
+    floor_ms = 4 * graph.padded_num_edges * 2.3e-9 * 1e3
+    return {"floor_ms": round(floor_ms, 2),
+            "floor_fraction": round(floor_ms / (dt_s * 1e3), 3)}
 
 
 def bench_full_batch(**kw) -> Dict:
-    step, b = _full_batch_config(**kw)
+    step, b, graph = _full_batch_config(**kw)
     dt = _timed_steps(step, 30)
     return {"step_ms": round(dt * 1e3, 2),
             "edges_per_s": round(b / dt, 1),
-            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2)}
+            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2),
+            **_gather_floor_fields(graph, dt)}
 
 
 def bench_sampled(fanouts=(15, 10), dataset="primekg",
@@ -240,7 +252,7 @@ def bench_primekg_full(scale=1.0) -> Dict:
 
     raw = primekg_full_like(seed=0, scale=scale)
     src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
-    step, b = _full_batch_config(
+    step, b, graph = _full_batch_config(
         graph_override=(src, dst, rel, raw["num_nodes"],
                         raw["num_relations"]))
     dt = _timed_steps(step, 10)
@@ -249,7 +261,8 @@ def bench_primekg_full(scale=1.0) -> Dict:
             "relations": int(raw["num_relations"]),
             "edges": int(len(src)),
             "edges_per_s": round(b / dt, 1),
-            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2)}
+            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2),
+            **_gather_floor_fields(graph, dt)}
 
 
 def bench_rmat(num_nodes=500_000, num_edges=5_000_000, num_relations=10) -> Dict:
@@ -258,13 +271,19 @@ def bench_rmat(num_nodes=500_000, num_edges=5_000_000, num_relations=10) -> Dict
 
     g = native.rmat_native(num_nodes, num_edges, num_relations, seed=0) \
         or rmat(num_nodes, num_edges, num_relations, seed=0)
-    step, b = _full_batch_config(
+    step, b, graph = _full_batch_config(
         graph_override=(g["src"], g["dst"], g["rel"], num_nodes,
                         num_relations))
     dt = _timed_steps(step, 10)
     return {"step_ms": round(dt * 1e3, 2),
             "nodes": num_nodes, "edges": num_edges,
-            "graph_edges_per_s_fwd_bwd": round(num_edges / dt, 1)}
+            # Normalized like every other full-batch row (candidate
+            # edges/s at batch 1024) so cross-round regression tracking
+            # has a comparable cell; the graph-sweep rate is kept too.
+            "edges_per_s": round(b / dt, 1),
+            "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2),
+            "graph_edges_per_s_fwd_bwd": round(num_edges / dt, 1),
+            **_gather_floor_fields(graph, dt)}
 
 
 def bench_eval_ranking() -> Dict:
@@ -291,9 +310,19 @@ def bench_eval_ranking() -> Dict:
         return rank(emb, rel, heads, tails)
 
     dt = _timed_steps(step, 30)
+    # HBM-bytes roofline for the ranking batch (edges/s is meaningless
+    # here): score matrix [B, N] written+read by the rank reduction plus
+    # one table read, at v5e's ~819 GB/s. The measured batch is dominated
+    # by the hosted frontend's per-call dispatch floor (docs/KERNELS.md),
+    # which is what this fraction makes visible each round.
+    hbm_bytes = (2 * b * n + n * d + b * d) * 4
+    floor_ms = hbm_bytes / 819e9 * 1e3
     return {"batch_ms": round(dt * 1e3, 3),
+            "step_ms": round(dt * 1e3, 3),
             "triples_per_s": round(b / dt, 1),
-            "entities": n}
+            "entities": n,
+            "floor_ms": round(floor_ms, 3),
+            "floor_fraction": round(floor_ms / (dt * 1e3), 3)}
 
 
 def bench_sharded_step(agg: str = "pallas", scale: float = 1.0) -> Dict:
