@@ -265,6 +265,15 @@ def main(argv=None):
     p.add_argument("--subprocess", action="store_true",
                    help="run each analysis in an isolated subprocess "
                         "(the reference's behavior)")
+    p.add_argument("--diseases", nargs="+", default=None,
+                   help="disease names for the case-study loop (default: "
+                        "the reference's diabetes/Alzheimer pair; "
+                        "synthetically trained models need synthetic "
+                        "names, e.g. 'synthetic disease 0')")
+    p.add_argument("--explain", nargs=2, action="append", default=None,
+                   metavar=("DRUG", "DISEASE"),
+                   help="(drug, disease) pair for the explanation loop; "
+                        "repeatable")
     p.add_argument("--list", action="store_true")
     args = p.parse_args(argv)
 
@@ -281,7 +290,10 @@ def main(argv=None):
 
     pipe = AnalysisPipeline(args.model_path, args.output_dir, args.data_dir,
                             use_subprocess=args.subprocess,
-                            timeout=args.timeout)
+                            timeout=args.timeout,
+                            diseases=args.diseases,
+                            explanations=[tuple(e) for e in args.explain]
+                            if args.explain else None)
     return pipe.run_all(args.analyses, args.skip)
 
 
