@@ -143,7 +143,7 @@ def bench_full_batch(**kw) -> Dict:
 
 def bench_sampled(fanouts=(15, 10), dataset="primekg",
                   compute_dtype=None, mode="uniform",
-                  window_impl=None) -> Dict:
+                  window_impl=None, ident_fraction=None) -> Dict:
     """Mini-batch neighbor-sampled training step.
 
     dataset="primekg" is the north-star subgraph; "primekg-full" is BASELINE
@@ -207,12 +207,18 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
     import os
 
     prev_impl = os.environ.get("PRIMEKG_WINDOW_IMPL")
+    prev_ident = os.environ.get("PRIMEKG_IDENT_FRACTION")
     if window_impl is not None:
         # Pin the block-mode window-fetch implementation for this row
         # (ops/pallas/window_fetch.py reads the env at trace time).
         # Restored in the finally below — a leaked value would silently
         # pin every later block-mode row in the same suite process.
         os.environ["PRIMEKG_WINDOW_IMPL"] = window_impl
+    if ident_fraction is not None:
+        # Near-saturation identity threshold override (data/sampling.py):
+        # the round-5 8/5 bench showed the dedup-vs-ident regime boundary
+        # dominates the budget product at config-5 scale.
+        os.environ["PRIMEKG_IDENT_FRACTION"] = str(ident_fraction)
     try:
         step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
                                            fanouts=fanouts, sparse_emb=big,
@@ -238,6 +244,11 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
                 os.environ.pop("PRIMEKG_WINDOW_IMPL", None)
             else:
                 os.environ["PRIMEKG_WINDOW_IMPL"] = prev_impl
+        if ident_fraction is not None:
+            if prev_ident is None:
+                os.environ.pop("PRIMEKG_IDENT_FRACTION", None)
+            else:
+                os.environ["PRIMEKG_IDENT_FRACTION"] = prev_ident
     return {"step_ms": round(dt * 1e3, 2),
             "edges_per_s": round(tcfg.batch_size / dt, 1),
             "vs_baseline": round(
@@ -393,10 +404,23 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
                                                      mode="block"),
     "sampled-10m-block-pallas-15-10": lambda: bench_sampled(
         (15, 10), "rmat-10m", mode="block", window_impl="pallas"),
+    "sampled-10m-block-xla-15-10": lambda: bench_sampled(
+        (15, 10), "rmat-10m", mode="block", window_impl="xla"),
     # Budget-quality sweep (docs/KERNELS.md Round 4) showed 8/5 == 15/10
-    # quality at qualification scale; the step is ~70% row-fetch floor,
-    # cost ~linear in the budget product — measure the speed side here.
+    # quality at qualification scale. Round-5 measurement: the smaller
+    # budget is SLOWER (949 vs 583 ms) because its innermost raw stream
+    # (~4.7M slots) drops below the 0.5 near-saturation identity
+    # threshold, re-entering the dedup+scatter regime — the regime
+    # boundary dominates the budget product. The -ident04 row lowers the
+    # threshold so 8/5 stays in identity mode.
     "sampled-10m-8-5": lambda: bench_sampled((8, 5), "rmat-10m"),
+    "sampled-10m-8-5-ident04": lambda: bench_sampled(
+        (8, 5), "rmat-10m", ident_fraction=0.4),
+    # blockN: N independent sub-windows per node — same budget/bytes as
+    # block, ~Nx the per-step relation coverage (the quality fix for
+    # block mode's relation-correlated picks).
+    "sampled-10m-block4-15-10": lambda: bench_sampled(
+        (15, 10), "rmat-10m", mode="block4"),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),

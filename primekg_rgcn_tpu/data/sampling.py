@@ -730,7 +730,39 @@ def _combined_agg_impl() -> str:
 # the node space skip dedup entirely (see CombinedBlock.ident). 0.5 is
 # conservative: identity costs <= 2x the minimal table rows in backward
 # segment-sum length, while saving the dedup construction + double gather.
+# Tunable via PRIMEKG_IDENT_FRACTION: the round-5 fanout-8/5 bench showed
+# the regime boundary DOMINATES the budget product at config-5 scale —
+# budgets (48, 32) put the innermost raw stream at ~4.7M slots, just
+# under 0.5 x 10M, and the dedup path's step (949 ms) was 1.6x SLOWER
+# than the bigger (48, 48) ident-mode step (583 ms).
+def _ident_fraction() -> float:
+    return float(os.environ.get("PRIMEKG_IDENT_FRACTION", "0.5"))
+
+
 IDENT_FRACTION = 0.5
+
+
+def parse_sample_mode(mode: str):
+    """Split a sampling-mode string into (base, n_windows).
+
+    ``"block"`` is 1 window; ``"blockN"`` (e.g. ``"block4"``) is N
+    independent aligned sub-windows of F/N records each per node — same
+    total budget and fetch bytes, ~N× better per-step relation coverage
+    (one merged-CSR window's picks are consecutive (dst, rel)-sorted
+    records, which over-samples one relation run per step; the measured
+    cost was −0.05 Hits@10, docs/KERNELS.md Round 4). Each sub-window is
+    an independent unbiased draw of the F/N-block estimator, so averaging
+    them (weights divided by N) stays unbiased at any N.
+    """
+    if mode.startswith("block") and mode != "block":
+        try:
+            n = int(mode[len("block"):])
+        except ValueError:
+            raise ValueError(f"unknown sampling mode {mode!r}")
+        if n < 1:
+            raise ValueError(f"block window count must be >= 1: {mode!r}")
+        return "block", n
+    return mode, 1
 
 
 def _window_fetch_enabled() -> bool:
@@ -804,6 +836,7 @@ _ident_pick_gather.defvjp(_ipg_fwd, _ipg_bwd)
 
 def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
                            budget: int, mode: str, allow_ident: bool = False):
+    mode, n_win = parse_sample_mode(mode)
     m = frontier.shape[0]
     n = ccsr.num_nodes
     r_count = ccsr.num_relations
@@ -816,24 +849,33 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         idx = jnp.floor(u * dtot[:, None]).astype(jnp.int32)
         valid = (dtot > 0)[:, None] & jnp.ones((m, budget), bool)
     elif mode == "block":
-        # One uniformly-random ALIGNED block of F consecutive merged-CSR
-        # edges per node: every edge's inclusion probability is exactly
-        # 1 / ceil(deg_total / F) regardless of which block it sits in
+        # n_win independent uniformly-random ALIGNED blocks of
+        # F/n_win consecutive merged-CSR edges per node: every edge's
+        # inclusion probability within one sub-window is exactly
+        # 1 / ceil(deg_total / f) regardless of which block it sits in
         # (the last, short block is chosen with the same probability), so
-        # the per-relation-mean estimator stays unbiased with weight
-        # ceil(deg_total / F) / deg_r — and each node's picks are ONE
-        # contiguous run, fetchable as a single DMA instead of F random
-        # row-gather descriptors (the config-5 pick fetch is
-        # descriptor-bound, docs/KERNELS.md "Round 3"). deg <= F reduces
-        # to the exact full neighborhood (== truncate at full fanout).
+        # each sub-window's per-relation-mean estimator is unbiased with
+        # weight ceil(deg_total / f) / deg_r; averaging the n_win
+        # independent draws divides the weight by n_win and stays
+        # unbiased. Each sub-window's picks are CONTIGUOUS records,
+        # fetchable as one DMA instead of f random row-gather descriptors
+        # (the config-5 pick fetch is descriptor-bound, docs/KERNELS.md
+        # "Round 3"). deg <= f reduces to the exact full neighborhood
+        # replicated n_win times at 1/n_win weight (== exact mean).
+        if budget % n_win:
+            raise ValueError(
+                f"block window count {n_win} must divide the layer "
+                f"budget {budget}")
+        f_win = budget // n_win
         key, k = jax.random.split(key)
-        n_blocks = -(-dtot // budget)  # ceil; 0 when deg == 0
-        u = jax.random.uniform(k, (m,))
+        n_blocks = -(-dtot // f_win)  # ceil; 0 when deg == 0
+        u = jax.random.uniform(k, (m, n_win))
         blk = jnp.floor(u * jnp.maximum(n_blocks, 1).astype(
-            jnp.float32)).astype(jnp.int32)
-        blk = jnp.minimum(blk, jnp.maximum(n_blocks - 1, 0))
-        idx = (blk * budget)[:, None] + jnp.arange(budget,
-                                                   dtype=jnp.int32)[None, :]
+            jnp.float32)[:, None]).astype(jnp.int32)
+        blk = jnp.minimum(blk, jnp.maximum(n_blocks - 1, 0)[:, None])
+        idx = ((blk * f_win)[:, :, None]
+               + jnp.arange(f_win, dtype=jnp.int32)[None, None, :]
+               ).reshape(m, budget)
         valid = idx < dtot[:, None]
     else:  # truncate: the first min(deg_total, F) merged edges
         idx = jnp.broadcast_to(jnp.arange(budget, dtype=jnp.int32),
@@ -856,8 +898,11 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
             from primekg_rgcn_tpu.ops.pallas.window_fetch import \
                 window_rows_fetch
 
-            rec = window_rows_fetch(ccsr.packed,
-                                    start + blk * budget, budget)
+            f_win = budget // n_win
+            rec = window_rows_fetch(
+                ccsr.packed,
+                (start[:, None] + blk * f_win).reshape(-1),
+                f_win).reshape(m, budget, 2)
         else:
             # Packed slim layout: (src, rel | deg) in one int32[E, 2]
             # record — ONE 8-byte row gather per slot instead of three
@@ -895,7 +940,10 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
         w = dtot[:, None].astype(jnp.float32) / (
             budget * jnp.maximum(deg_r, 1.0))
     elif mode == "block":
-        w = n_blocks[:, None].astype(jnp.float32) / jnp.maximum(deg_r, 1.0)
+        # n_blocks is ceil(deg_total / f_win); the n_win independent
+        # sub-window estimators are averaged (1/n_win each).
+        w = n_blocks[:, None].astype(jnp.float32) / (
+            n_win * jnp.maximum(deg_r, 1.0))
     else:
         w = 1.0 / jnp.maximum(deg_r, 1.0)
     w = jnp.where(valid & (deg_r > 0), w, 0.0)
@@ -908,7 +956,9 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
     # sample forward). The merged CSR is already rel-sorted per node, so
     # truncate-mode picks arrive sorted either way.
     tags_sorted = True
-    if mode == "uniform":
+    if mode == "uniform" or (mode == "block" and n_win > 1):
+        # Multi-window block rows are per-sub-window sorted but not
+        # globally ascending — same handling as uniform picks.
         if _combined_agg_impl() != "einsum":
             order = jnp.argsort(rtag, axis=1, stable=True)
             # Flat 1-D gathers, not take_along_axis (which lowers to M*F
@@ -923,7 +973,7 @@ def _sample_layer_combined(key, ccsr: CombinedCsr, frontier: jnp.ndarray,
 
     raw = jnp.concatenate([frontier, picks.reshape(-1)])
     raw_len = int(raw.shape[0])
-    if allow_ident and raw_len >= IDENT_FRACTION * (n + 1):
+    if allow_ident and raw_len >= _ident_fraction() * (n + 1):
         # Near-saturated innermost frontier: skip dedup, keep global ids.
         # The backward still needs the raw stream's argsort (sorted
         # segment-sum into table rows); forward-only traces DCE it away.
@@ -961,12 +1011,13 @@ def sample_batch_combined(key: jax.Array, ccsr: CombinedCsr,
     paths may enable it — sharded layouts rely on frontier-sized
     collectives and must keep the deduplicated frontier.
 
-    Modes: "uniform" (per-slot with-replacement picks), "block" (one
-    random aligned F-edge window per node — unbiased, DMA-contiguous, see
-    :func:`_sample_layer_combined`), "truncate" (first min(deg, F) edges;
+    Modes: "uniform" (per-slot with-replacement picks), "block" /
+    "blockN" (one / N random aligned sub-window(s) of F[/N] edges per
+    node — unbiased, DMA-contiguous, see :func:`_sample_layer_combined`
+    and :func:`parse_sample_mode`), "truncate" (first min(deg, F) edges;
     exact when F >= max degree).
     """
-    if mode not in ("uniform", "block", "truncate"):
+    if parse_sample_mode(mode)[0] not in ("uniform", "block", "truncate"):
         raise ValueError(f"unknown sampling mode {mode!r}")
     seeds = seeds.astype(jnp.int32)
     cap0 = _unique_cap(int(seeds.shape[0]), ccsr.num_nodes)

@@ -23,8 +23,13 @@ granules, data/sampling._window_pad) and extract the window afterwards:
   granule pair + an in-kernel dynamic lane roll (tpu.dynamic_rotate)
   replacing the element-gather shift.
 
-``window_rows_fetch(impl="auto")`` picks ``xla`` (measured on-chip
-bake-off pending; PRIMEKG_WINDOW_IMPL overrides).
+``window_rows_fetch(impl="auto")`` picks ``pallas`` — the round-5 on-chip
+bake-off at config-5 scale measured the integrated sampled step at
+475 ms (pallas) vs 830 ms (xla) vs 586 ms uniform-gather baseline
+(bench_report.json ``sampled-10m-block-pallas-15-10``): the [M, 2F]
+``take_along_axis`` lane shift was indeed the xla impl's pathology, and
+the contiguous-DMA rationale holds once it is gone. PRIMEKG_WINDOW_IMPL
+overrides.
 
 Reference context: the reference's PyG pipeline has no sampled path at all
 (reference: README.md:624-627 lists mini-batch sampling as unimplemented);
@@ -161,7 +166,7 @@ def window_rows_fetch(packed: jnp.ndarray, starts: jnp.ndarray,
                          f"fetch and tail padding are sized for the "
                          f"48-slot budget cap)")
     if impl == "auto":
-        impl = os.environ.get("PRIMEKG_WINDOW_IMPL", "xla")
+        impl = os.environ.get("PRIMEKG_WINDOW_IMPL", "pallas")
     if impl == "pallas":
         return _pallas_window_fetch(packed, starts, width)
     return _xla_window_fetch(packed, starts, width)

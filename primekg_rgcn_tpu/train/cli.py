@@ -59,14 +59,16 @@ def parse_args(argv=None):
                         "many optimizer updates (0 = whole epoch fused); "
                         "with --sample_fanouts on one device: steps fused "
                         "per dispatch (0 = default 32)")
-    p.add_argument("--sample_mode", choices=["uniform", "block", "truncate"],
-                   default="uniform",
+    p.add_argument("--sample_mode", default="uniform",
                    help="with --sample_fanouts: neighbor pick scheme. "
                         "uniform = per-slot with-replacement; block = one "
                         "random aligned F-edge CSR window per node "
                         "(unbiased, DMA-contiguous — the fast fetch at "
-                        "config-5 scale); truncate = first min(deg, F) "
-                        "edges (deterministic, exact at F >= max degree)")
+                        "config-5 scale); blockN (e.g. block4) = N "
+                        "independent F/N-edge sub-windows per node (same "
+                        "budget/bytes, ~Nx the per-step relation "
+                        "coverage); truncate = first min(deg, F) edges "
+                        "(deterministic, exact at F >= max degree)")
     p.add_argument("--sample_fanouts", type=int, nargs="+", default=None,
                    help="enable neighbor-sampled mini-batch training with "
                         "these per-relation fanouts, outermost layer first "
@@ -132,7 +134,14 @@ def parse_args(argv=None):
     p.add_argument("--coordinator_address", default=None)
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    import re
+
+    if not re.fullmatch(r"uniform|truncate|block([1-9]\d*)?",
+                        args.sample_mode):
+        p.error(f"invalid --sample_mode {args.sample_mode!r} "
+                f"(uniform | block | blockN | truncate)")
+    return args
 
 
 def _load_graphs(args):

@@ -43,9 +43,10 @@ def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto",
     """
     from primekg_rgcn_tpu.data.sampling import (
         CombinedCsr, _window_fetch_enabled, build_combined_csr,
-        build_csr_cache, csr_to_pairs_form)
+        build_csr_cache, csr_to_pairs_form, parse_sample_mode)
 
-    want_pairs = mode == "block" and _window_fetch_enabled()
+    want_pairs = (parse_sample_mode(mode)[0] == "block"
+                  and _window_fetch_enabled())
 
     fanouts = tuple(int(f) for f in fanouts)
     if isinstance(graph_or_csr, (CsrCache, CombinedCsr)):

@@ -1481,3 +1481,96 @@ def test_zero3_block_mode_matches_zero1():
     for a, b in zip(outs1, outs3):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-5, atol=3e-6)
+
+
+def test_parse_sample_mode():
+    from primekg_rgcn_tpu.data.sampling import parse_sample_mode
+
+    assert parse_sample_mode("uniform") == ("uniform", 1)
+    assert parse_sample_mode("block") == ("block", 1)
+    assert parse_sample_mode("block4") == ("block", 4)
+    assert parse_sample_mode("block12") == ("block", 12)
+    with pytest.raises(ValueError, match="unknown sampling mode"):
+        parse_sample_mode("blockx")
+    with pytest.raises(ValueError):
+        parse_sample_mode("block0")
+
+
+def test_combined_multiwindow_block_is_unbiased_estimate():
+    """blockN: N independent aligned F/N-edge sub-windows per node, each
+    an unbiased block estimator at window size F/N, averaged via weights
+    divided by N — the mean must converge to the full encode like the
+    single-window mode (docs/KERNELS.md Round 5: recovers the per-step
+    relation coverage that one merged-CSR window loses)."""
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    graph, cfg, params, ccsr, _ = _setup_sparse()
+    seeds = jnp.asarray(np.arange(12, dtype=np.int32))
+    full = np.asarray(encoder_apply(params, graph, cfg))[:12]
+
+    @jax.jit
+    def one(key):
+        b = sample_batch_combined(key, ccsr, seeds, budgets=[24, 24],
+                                  mode="block4")
+        return encoder_apply_sampled(params, b, cfg)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 300)
+    avg = np.mean([np.asarray(one(k)) for k in keys], axis=0)
+    err = np.abs(avg - full).max() / (np.abs(full).max() + 1e-9)
+    assert err < 0.25, f"relative deviation {err:.3f}"
+
+
+def test_combined_multiwindow_full_budget_exact():
+    """block2 with sub-window size >= max degree: both windows pick the
+    whole neighborhood at half weight — exactly the full-graph encode."""
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    graph, cfg, params, ccsr, max_total = _setup_sparse()
+    seeds = jnp.asarray(np.arange(25, dtype=np.int32))
+    batch = sample_batch_combined(jax.random.PRNGKey(0), ccsr, seeds,
+                                  budgets=[2 * max_total, 2 * max_total],
+                                  mode="block2")
+    out_sampled = encoder_apply_sampled(params, batch, cfg)
+    out_full = encoder_apply(params, graph, cfg)
+    np.testing.assert_allclose(np.asarray(out_sampled),
+                               np.asarray(out_full)[:25],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_multiwindow_rejects_indivisible_budget():
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+
+    _, _, _, ccsr, _ = _setup_sparse()
+    with pytest.raises(ValueError, match="divide the layer budget"):
+        sample_batch_combined(jax.random.PRNGKey(0), ccsr,
+                              jnp.arange(8, dtype=jnp.int32),
+                              budgets=[25, 25], mode="block4")
+
+
+def test_multiwindow_window_fetch_matches_gather(monkeypatch):
+    """blockN through the contiguous-DMA window fetch (one DMA per
+    sub-window) must produce bit-identical blocks to the per-slot gather."""
+    from primekg_rgcn_tpu.data.sampling import (
+        build_combined_csr, sample_batch_combined)
+
+    graph, cfg, params, _, _ = _setup_sparse(e=900)
+    ccsr = build_combined_csr(graph, slim=True)
+    assert ccsr.packed.shape[0] > 0
+    seeds = jnp.asarray(np.arange(20, dtype=np.int32))
+    key = jax.random.PRNGKey(13)
+
+    monkeypatch.setenv("PRIMEKG_WINDOW_FETCH", "0")
+    b_gather = sample_batch_combined(key, ccsr, seeds, (6, 4), mode="block2")
+    monkeypatch.setenv("PRIMEKG_WINDOW_FETCH", "1")
+    b_window = sample_batch_combined(key, ccsr, seeds, (6, 4), mode="block2")
+
+    for blk_g, blk_w in zip(b_gather.blocks, b_window.blocks):
+        np.testing.assert_array_equal(np.asarray(blk_g.src_local),
+                                      np.asarray(blk_w.src_local))
+        np.testing.assert_array_equal(np.asarray(blk_g.rel_tag),
+                                      np.asarray(blk_w.rel_tag))
+        np.testing.assert_array_equal(np.asarray(blk_g.slot_w),
+                                      np.asarray(blk_w.slot_w))
+    out_g = encoder_apply_sampled(params, b_gather, cfg)
+    out_w = encoder_apply_sampled(params, b_window, cfg)
+    np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_w))
