@@ -416,6 +416,12 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "sampled-10m-8-5": lambda: bench_sampled((8, 5), "rmat-10m"),
     "sampled-10m-8-5-ident04": lambda: bench_sampled(
         (8, 5), "rmat-10m", ident_fraction=0.4),
+    # (8, 5) maps to budgets (32, 24) on this graph: innermost raw stream
+    # = ~135K frontier x 25 = 3.38M slots = 0.34 x N — threshold 0.4 still
+    # leaves it in dedup mode (measured 927 ms, unchanged); 0.3 flips it
+    # to identity.
+    "sampled-10m-8-5-ident03": lambda: bench_sampled(
+        (8, 5), "rmat-10m", ident_fraction=0.3),
     # blockN: N independent sub-windows per node — same budget/bytes as
     # block, ~Nx the per-step relation coverage (the quality fix for
     # block mode's relation-correlated picks).

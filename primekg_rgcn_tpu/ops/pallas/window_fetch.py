@@ -116,9 +116,24 @@ def _roll_kernel(starts2_ref, x_ref, out_ref, buf, sem, *, nb):
     jax.lax.fori_loop(0, nb, extract, 0)
 
 
+# Max starts per pallas_call: the starts array is a scalar-prefetch operand
+# living in SMEM (1 MB on v5e). 131072 x int32 = 512 KB leaves headroom for
+# Mosaic's own SMEM use. Multi-window sampling (mode="blockN") multiplies
+# the per-layer starts count by N — an 800K-starts innermost layer
+# (3.2 MB) was a measured compile-time SMEM OOM before chunking.
+SMEM_STARTS = 131072
+
+
 def _pallas_window_fetch(packed, starts, width, interpret=False):
-    """Granule-pair DMA + in-kernel dynamic lane roll."""
+    """Granule-pair DMA + in-kernel dynamic lane roll (SMEM-chunked)."""
     m = int(starts.shape[0])
+    if m > SMEM_STARTS:
+        outs = [
+            _pallas_window_fetch(packed, starts[s:s + SMEM_STARTS], width,
+                                 interpret)
+            for s in range(0, m, SMEM_STARTS)
+        ]
+        return jnp.concatenate(outs, axis=0)
     x = _pair_view(packed)
     nb = min(WINDOW_NB, max(m, 1))
     mp = -(-m // nb) * nb

@@ -55,3 +55,23 @@ def test_window_rows_fetch_rejects_unpadded():
     bad = jnp.zeros((1000, 2), jnp.int32)  # not whole 64-record granules
     with pytest.raises(ValueError, match="granule"):
         window_rows_fetch(bad, jnp.zeros((4,), jnp.int32), 8)
+
+
+def test_window_fetch_smem_chunking(monkeypatch):
+    """starts arrays beyond the SMEM scalar-prefetch capacity are split
+    into multiple pallas_call chunks (a single 800K-starts call was a
+    measured compile-time SMEM OOM on v5e: 3.2 MB > 1 MB); chunked output
+    must equal the single-call path bit-for-bit."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import primekg_rgcn_tpu.ops.pallas.window_fetch as wf
+
+    rng = np.random.default_rng(0)
+    e = 64 * 40
+    packed = jnp.asarray(rng.integers(0, 2**20, (e, 2)).astype(np.int32))
+    starts = jnp.asarray(rng.integers(0, e - 70, 300).astype(np.int32))
+    ref = wf._xla_window_fetch(packed, starts, 6)
+    monkeypatch.setattr(wf, "SMEM_STARTS", 64)  # force many chunks
+    out = wf._pallas_window_fetch(packed, starts, 6)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
