@@ -118,27 +118,31 @@ def _full_batch_config(num_bases=None, compute_dtype="float32", impl="auto",
         key_holder["state"], loss = train_step(key_holder["state"], bi, k)
         return loss
 
-    return step, b, graph
+    return step, b, graph, final_plan
 
 
-def _gather_floor_fields(graph, dt_s: float) -> Dict:
+def _gather_floor_fields(graph, dt_s: float, final_plan=None) -> Dict:
     """Machine-checked DMA-gather roofline for the full-batch step
     (docs/KERNELS.md "Roofline"): 2 layers x (fwd + transpose-bwd) gather
     every padded edge's source row once, at the measured ~2.3 ns/row v5e
-    floor regardless of row width. floor_fraction = floor / measured step;
-    a drop flags a regression relative to the step's own bound."""
-    floor_ms = 4 * graph.padded_num_edges * 2.3e-9 * 1e3
+    floor regardless of row width. When the batch-restricted final layer
+    is active, conv2's two passes run over the plan's static capacity
+    instead of the full edge list. floor_fraction = floor / measured
+    step; a drop flags a regression relative to the step's own bound."""
+    e_pad = graph.padded_num_edges
+    conv2_rows = e_pad if final_plan is None else int(sum(final_plan.e_cap))
+    floor_ms = 2 * (e_pad + conv2_rows) * 2.3e-9 * 1e3
     return {"floor_ms": round(floor_ms, 2),
             "floor_fraction": round(floor_ms / (dt_s * 1e3), 3)}
 
 
 def bench_full_batch(**kw) -> Dict:
-    step, b, graph = _full_batch_config(**kw)
+    step, b, graph, plan = _full_batch_config(**kw)
     dt = _timed_steps(step, 30)
     return {"step_ms": round(dt * 1e3, 2),
             "edges_per_s": round(b / dt, 1),
             "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2),
-            **_gather_floor_fields(graph, dt)}
+            **_gather_floor_fields(graph, dt, plan)}
 
 
 def bench_sampled(fanouts=(15, 10), dataset="primekg",
@@ -263,7 +267,7 @@ def bench_primekg_full(scale=1.0) -> Dict:
 
     raw = primekg_full_like(seed=0, scale=scale)
     src, dst, rel = bidirect(raw["src"], raw["dst"], raw["rel"])
-    step, b, graph = _full_batch_config(
+    step, b, graph, plan = _full_batch_config(
         graph_override=(src, dst, rel, raw["num_nodes"],
                         raw["num_relations"]))
     dt = _timed_steps(step, 10)
@@ -273,7 +277,7 @@ def bench_primekg_full(scale=1.0) -> Dict:
             "edges": int(len(src)),
             "edges_per_s": round(b / dt, 1),
             "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2),
-            **_gather_floor_fields(graph, dt)}
+            **_gather_floor_fields(graph, dt, plan)}
 
 
 def bench_rmat(num_nodes=500_000, num_edges=5_000_000, num_relations=10) -> Dict:
@@ -282,7 +286,7 @@ def bench_rmat(num_nodes=500_000, num_edges=5_000_000, num_relations=10) -> Dict
 
     g = native.rmat_native(num_nodes, num_edges, num_relations, seed=0) \
         or rmat(num_nodes, num_edges, num_relations, seed=0)
-    step, b, graph = _full_batch_config(
+    step, b, graph, plan = _full_batch_config(
         graph_override=(g["src"], g["dst"], g["rel"], num_nodes,
                         num_relations))
     dt = _timed_steps(step, 10)
@@ -294,7 +298,7 @@ def bench_rmat(num_nodes=500_000, num_edges=5_000_000, num_relations=10) -> Dict
             "edges_per_s": round(b / dt, 1),
             "vs_baseline": round(b / dt / BASELINE_EDGES_PER_S, 2),
             "graph_edges_per_s_fwd_bwd": round(num_edges / dt, 1),
-            **_gather_floor_fields(graph, dt)}
+            **_gather_floor_fields(graph, dt, plan)}
 
 
 def bench_eval_ranking() -> Dict:
