@@ -727,19 +727,21 @@ def _combined_agg_impl() -> str:
 
 
 # Innermost-layer frontiers whose raw slot count reaches this fraction of
-# the node space skip dedup entirely (see CombinedBlock.ident). 0.5 is
-# conservative: identity costs <= 2x the minimal table rows in backward
-# segment-sum length, while saving the dedup construction + double gather.
-# Tunable via PRIMEKG_IDENT_FRACTION: the round-5 fanout-8/5 bench showed
-# the regime boundary DOMINATES the budget product at config-5 scale —
-# budgets (48, 32) put the innermost raw stream at ~4.7M slots, just
-# under 0.5 x 10M, and the dedup path's step (949 ms) was 1.6x SLOWER
-# than the bigger (48, 48) ident-mode step (583 ms).
+# the node space skip dedup entirely (see CombinedBlock.ident). The
+# original 0.5 default reasoned that identity costs <= 2x the minimal
+# table rows in backward segment-sum length; round-5 MEASUREMENT says the
+# dedup construction is far costlier than that bound: at config-5 fanout
+# 8/5 (budgets (32, 24), innermost raw stream 3.38M slots = 0.34 x N) the
+# dedup-regime step is 949 ms vs 284 ms identity — a 3.3x penalty, and
+# the regime boundary dominates the budget product (8/5 dedup was SLOWER
+# than 15/10 identity at twice the budget). Default is therefore 0.3, the
+# lowest measured-win point; below that the crossover is unmeasured.
+# Tunable via PRIMEKG_IDENT_FRACTION.
 def _ident_fraction() -> float:
-    return float(os.environ.get("PRIMEKG_IDENT_FRACTION", "0.5"))
+    return float(os.environ.get("PRIMEKG_IDENT_FRACTION", "0.3"))
 
 
-IDENT_FRACTION = 0.5
+IDENT_FRACTION = 0.3
 
 
 def parse_sample_mode(mode: str):
