@@ -426,6 +426,12 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     # to identity.
     "sampled-10m-8-5-ident03": lambda: bench_sampled(
         (8, 5), "rmat-10m", ident_fraction=0.3),
+    # Compose the two round-5 wins: low budget in identity regime + the
+    # Pallas contiguous-window fetch.
+    "sampled-10m-block-8-5": lambda: bench_sampled(
+        (8, 5), "rmat-10m", mode="block"),
+    "sampled-10m-block4-8-5": lambda: bench_sampled(
+        (8, 5), "rmat-10m", mode="block4"),
     # blockN: N independent sub-windows per node — same budget/bytes as
     # block, ~Nx the per-step relation coverage (the quality fix for
     # block mode's relation-correlated picks).

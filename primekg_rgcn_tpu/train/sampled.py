@@ -45,8 +45,8 @@ def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto",
         CombinedCsr, _window_fetch_enabled, build_combined_csr,
         build_csr_cache, csr_to_pairs_form, parse_sample_mode)
 
-    want_pairs = (parse_sample_mode(mode)[0] == "block"
-                  and _window_fetch_enabled())
+    base_mode = parse_sample_mode(mode)[0]
+    want_pairs = base_mode == "block" and _window_fetch_enabled()
 
     fanouts = tuple(int(f) for f in fanouts)
     if isinstance(graph_or_csr, (CsrCache, CombinedCsr)):
@@ -62,7 +62,12 @@ def resolve_sampler(graph_or_csr, fanouts, layout: str = "auto",
         return csr, fanouts, False
     if csr is None:
         ccsr = build_combined_csr(graph, window_pairs=want_pairs)
-        if layout == "auto" and \
+        # Block modes REQUIRE the combined layout (contiguous windows ride
+        # the merged CSR), so the relation-density heuristic only applies
+        # to the other modes — without this, --sample_mode block on a
+        # relation-dense graph routed to the per-relation layout and
+        # failed there.
+        if layout == "auto" and base_mode != "block" and \
                 ccsr.avg_present_relations >= 0.5 * ccsr.num_relations:
             return build_csr_cache(graph), fanouts, False
     else:

@@ -214,3 +214,25 @@ def test_export_serving_artifact(tiny_dataset, tmp_path):
         np.testing.assert_allclose(
             scores[qi][:4], [r["score"] for r in q["predictions"]],
             rtol=1e-5, atol=1e-6)
+
+
+def test_sampled_training_cli_blockn_mode(tiny_dataset):
+    """--sample_mode block2 trains end-to-end; malformed modes fail at
+    argparse time."""
+    import pytest
+
+    from primekg_rgcn_tpu.train import checkpoint as ckpt
+    from primekg_rgcn_tpu.train.cli import main as train_main, parse_args
+
+    out = tiny_dataset / "output_block2"
+    train_main(["--data_dir", str(tiny_dataset / "processed"),
+                "--output_dir", str(out), "--epochs", "1",
+                "--batch_size", "128", "--embedding_dim", "8",
+                "--hidden_dim", "8", "--sample_fanouts", "4", "4",
+                "--sample_mode", "block2"])
+    payload = ckpt.load(out / "models" / "final_model")
+    assert payload["epoch"] == 1
+    with pytest.raises(SystemExit):
+        parse_args(["--sample_mode", "blockx"])
+    with pytest.raises(SystemExit):
+        parse_args(["--sample_mode", "block0"])
