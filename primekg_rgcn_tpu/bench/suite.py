@@ -403,6 +403,8 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "sampled-full-15-10": lambda: bench_sampled((15, 10), "primekg-full"),
     "sampled-full-bf16-15-10": lambda: bench_sampled(
         (15, 10), "primekg-full", compute_dtype="bfloat16"),
+    # Config-4 at the qualified low budget (the 8/5 lever, Round 5).
+    "sampled-full-8-5": lambda: bench_sampled((8, 5), "primekg-full"),
     "sampled-10m-15-10": lambda: bench_sampled((15, 10), "rmat-10m"),
     "sampled-10m-block-15-10": lambda: bench_sampled((15, 10), "rmat-10m",
                                                      mode="block"),

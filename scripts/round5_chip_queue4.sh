@@ -10,3 +10,5 @@ timeout 2400 python -m primekg_rgcn_tpu.bench.suite \
   --configs sampled-10m-block-8-5 --out bench_report.json
 timeout 2400 python -m primekg_rgcn_tpu.bench.suite \
   --configs sampled-10m-block4-8-5 --out bench_report.json
+timeout 2400 python -m primekg_rgcn_tpu.bench.suite \
+  --configs sampled-full-8-5 --out bench_report.json
