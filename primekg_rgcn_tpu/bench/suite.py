@@ -147,7 +147,8 @@ def bench_full_batch(**kw) -> Dict:
 
 def bench_sampled(fanouts=(15, 10), dataset="primekg",
                   compute_dtype=None, mode="uniform",
-                  window_impl=None, ident_fraction=None) -> Dict:
+                  window_impl=None, ident_fraction=None,
+                  cache=False) -> Dict:
     """Mini-batch neighbor-sampled training step.
 
     dataset="primekg" is the north-star subgraph; "primekg-full" is BASELINE
@@ -163,7 +164,7 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
     from primekg_rgcn_tpu.data.synthetic import (
         bidirect, primekg_full_like, primekg_like)
     from primekg_rgcn_tpu.models.rgcn import init_params
-    from primekg_rgcn_tpu.train.loop import TrainState, make_optimizer
+    from primekg_rgcn_tpu.train.loop import make_optimizer
     from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
 
     if dataset == "rmat-10m":
@@ -197,7 +198,9 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
                       compute_dtype=compute_dtype
                       or ("bfloat16" if big else "float32"))
     tcfg = TrainConfig(batch_size=1024)
-    if big:
+    if big or cache:
+        # cache_layer1 extends the sparse-embedding step, whose table
+        # update is plain SGD (or adafactor) — match the 10M config.
         import optax
 
         opt = optax.sgd(tcfg.lr)
@@ -225,13 +228,18 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
         os.environ["PRIMEKG_IDENT_FRACTION"] = str(ident_fraction)
     try:
         step_fn = build_sampled_train_step(graph, cfg, tcfg, opt,
-                                           fanouts=fanouts, sparse_emb=big,
-                                           mode=mode)
+                                           fanouts=fanouts,
+                                           sparse_emb=big or cache,
+                                           mode=mode,
+                                           layout="combined" if cache
+                                           else "auto",
+                                           cache_layer1=cache)
 
         edges = np.stack([src, dst, rel], 1).astype(np.int32)
         rng = np.random.default_rng(0)
-        holder = {"state": TrainState(params, opt.init(params),
-                                      jnp.zeros((), jnp.int32)),
+        # init_state builds whatever opt_state structure the step needs
+        # (plain, (rest, factored-table), or (base, history-cache)).
+        holder = {"state": step_fn.init_state(params),
                   "key": jax.random.PRNGKey(0)}
 
         def step(i):
@@ -257,6 +265,117 @@ def bench_sampled(fanouts=(15, 10), dataset="primekg",
             "edges_per_s": round(tcfg.batch_size / dt, 1),
             "vs_baseline": round(
                 tcfg.batch_size / dt / BASELINE_EDGES_PER_S, 2)}
+
+
+def bench_ident_sweep(fanouts=(8, 5), batches=(1024, 512, 256, 128, 64),
+                      n_steps=15) -> Dict:
+    """Dedup-vs-identity regime crossover sweep (post-round-5 item 3).
+
+    The near-saturation identity threshold (data/sampling.IDENT_FRACTION)
+    decides, from the innermost layer's STATIC raw pick-slot count as a
+    fraction of the node space, whether the sampled step keeps the
+    deduplicated frontier (unique construction + frontier gather) or
+    gathers straight from the embedding table. Round 5 measured identity
+    3.3x faster at 0.34 x N and moved the default 0.5 -> 0.3 — the lowest
+    measured-win point; BELOW that the crossover was unmeasured. Raw slots
+    scale linearly with the batch size at fixed budgets, so this sweep
+    varies the batch and times BOTH regimes at each point on the config-5
+    graph, then interpolates the crossover fraction — the measurement that
+    lets the default sit at the regime boundary instead of a bound.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from primekg_rgcn_tpu.config import ModelConfig, TrainConfig
+    from primekg_rgcn_tpu import native
+    from primekg_rgcn_tpu.data.graph import build_rel_graph
+    from primekg_rgcn_tpu.data.sampling import sample_batch_combined
+    from primekg_rgcn_tpu.data.synthetic import rmat
+    from primekg_rgcn_tpu.models.rgcn import init_params
+    from primekg_rgcn_tpu.train.loop import TrainState
+    from primekg_rgcn_tpu.train.sampled import (build_sampled_train_step,
+                                                resolve_sampler)
+    import optax
+
+    g = native.rmat_native(10_000_000, 100_000_000, 50, seed=0) \
+        or rmat(10_000_000, 100_000_000, 50, seed=0)
+    src, dst, rel = g["src"], g["dst"], g["rel"]
+    n = 10_000_000
+    n_rel = int(rel.max()) + 1
+    graph = build_rel_graph(src, dst, rel, n, n_rel)
+    csr, budgets, _ = resolve_sampler(graph, fanouts)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+
+    prev_ident = os.environ.get("PRIMEKG_IDENT_FRACTION")
+    points = []
+    try:
+        for b in batches:
+            cfg = ModelConfig(num_nodes=n, num_relations=n_rel,
+                              compute_dtype="bfloat16")
+            tcfg = TrainConfig(batch_size=b)
+            # Static raw innermost slot count for this batch size (ids are
+            # irrelevant to the static shapes; one eager sample reads it).
+            seeds = jnp.zeros((2 * b * (1 + tcfg.num_neg_samples),),
+                              jnp.int32)
+            probe = sample_batch_combined(jax.random.PRNGKey(0), csr, seeds,
+                                          budgets, allow_ident=False)
+            raw = int(np.prod(probe.blocks[0].src_local.shape))
+            frac = raw / n
+            pt = {"batch": b, "raw_slots": raw,
+                  "raw_fraction": round(frac, 4)}
+            for regime, frac_env in (("ident", "1e-9"), ("dedup", "9e9")):
+                os.environ["PRIMEKG_IDENT_FRACTION"] = frac_env
+                opt = optax.sgd(tcfg.lr)
+                step_fn = build_sampled_train_step(
+                    csr, cfg, tcfg, opt, fanouts=fanouts, sparse_emb=True)
+                params = init_params(jax.random.PRNGKey(0), cfg)
+                rng = np.random.default_rng(0)
+                holder = {"state": step_fn.init_state(params),
+                          "key": jax.random.PRNGKey(0)}
+
+                def step(i):
+                    holder["key"], k = jax.random.split(holder["key"])
+                    idx = rng.integers(0, len(edges), b)
+                    holder["state"], (loss, _) = step_fn(
+                        holder["state"], jnp.asarray(edges[idx]), k)
+                    return loss
+
+                dt = _timed_steps(step, n_steps)
+                pt[f"{regime}_ms"] = round(dt * 1e3, 2)
+                del holder, step_fn, params
+            points.append(pt)
+            print(json.dumps(pt), flush=True)
+    finally:
+        if prev_ident is None:
+            os.environ.pop("PRIMEKG_IDENT_FRACTION", None)
+        else:
+            os.environ["PRIMEKG_IDENT_FRACTION"] = prev_ident
+
+    # Crossover: walk points by ascending fraction; interpolate where the
+    # ident-minus-dedup sign flips. If identity wins everywhere measured,
+    # the crossover upper bound is the smallest measured fraction.
+    pts = sorted(points, key=lambda p: p["raw_fraction"])
+    crossover = None
+    for lo, hi in zip(pts, pts[1:]):
+        d_lo = lo["ident_ms"] - lo["dedup_ms"]
+        d_hi = hi["ident_ms"] - hi["dedup_ms"]
+        if d_lo >= 0 and d_hi < 0:
+            t = d_lo / (d_lo - d_hi) if d_lo != d_hi else 0.0
+            crossover = lo["raw_fraction"] + t * (
+                hi["raw_fraction"] - lo["raw_fraction"])
+            break
+    ident_everywhere = all(p["ident_ms"] <= p["dedup_ms"] for p in pts)
+    head = next(p for p in points if p["batch"] == batches[0])
+    return {"step_ms": min(head["ident_ms"], head["dedup_ms"]),
+            "edges_per_s": round(
+                batches[0] / (min(head["ident_ms"], head["dedup_ms"])
+                              / 1e3), 1),
+            "crossover_fraction":
+                round(crossover, 4) if crossover is not None else None,
+            "ident_wins_everywhere": ident_everywhere,
+            "points": points}
 
 
 def bench_primekg_full(scale=1.0) -> Dict:
@@ -439,6 +558,17 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     # block mode's relation-correlated picks).
     "sampled-10m-block4-15-10": lambda: bench_sampled(
         (15, 10), "rmat-10m", mode="block4"),
+    # Post-round-5 item 3: the dedup-vs-identity crossover, measured.
+    "ident-crossover": lambda: bench_ident_sweep(),
+    # Historical layer-1 embeddings (GAS-style): ONE sampled hop serves
+    # both convolutions — the innermost frontier fetch (the sampled
+    # step's measured cost floor) is structurally removed.
+    "sampled-10m-cache-15-10": lambda: bench_sampled(
+        (15, 10), "rmat-10m", cache=True),
+    "sampled-10m-cache-8-5": lambda: bench_sampled(
+        (8, 5), "rmat-10m", cache=True),
+    "sampled-full-cache-15-10": lambda: bench_sampled(
+        (15, 10), "primekg-full", cache=True),
     "primekg-full": lambda: bench_primekg_full(),
     "rmat-large": lambda: bench_rmat(),
     "eval-ranking": lambda: bench_eval_ranking(),

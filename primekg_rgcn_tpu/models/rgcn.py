@@ -284,6 +284,113 @@ def encoder_apply_sampled(
     return jnp.take(x, batch.seed_gather, axis=0).astype(jnp.float32)
 
 
+def encoder_apply_cached(
+    params: Params,
+    batch,  # data.sampling.SampledBatch with ONE (outer) CombinedBlock
+    cache: jnp.ndarray,  # [N, hidden_dim] layer-1 history table
+    cfg: ModelConfig,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    x0: Optional[jnp.ndarray] = None,
+):
+    """Historical-embedding forward (GAS/VR-GCN style, single-chip).
+
+    The sampled 2-layer step's cost floor is the innermost frontier's
+    random row fetch (~15 ns/row over millions of rows at config-5 scale,
+    docs/KERNELS.md "Round 3"). This path removes that layer entirely:
+    ONE sampled hop serves both convolutions —
+
+      * conv1 runs FRESH for the (deduplicated) seed nodes over their
+        sampled neighbors' table rows (gradients flow to the table and
+        conv1 weights exactly as in the 2-layer step);
+      * the fresh pre-activation rows are PUSHED into ``cache`` (stop-
+        gradient — histories are constants, the GNNAutoScale estimator);
+      * conv2 reads its inputs from the cache at the SAME hop's frontier,
+        with the in-batch rows overwritten by the fresh (differentiable)
+        values — so intra-batch edges use exact current values and
+        out-of-batch neighbors use their last-computed history.
+
+    Staleness: a node's history refreshes whenever it appears as a seed
+    (every ~N/|seeds| steps under uniform edge sampling); quality must be
+    qualified per scale (see docs/KERNELS.md "Round 5"). The receptive
+    field stays 2-hop through histories — which themselves aggregated
+    their own neighbors in earlier steps.
+
+    Returns ``(seed_embeddings [S, hidden], new_cache [N, hidden])``.
+    The reference has no sampled path at all (its README lists mini-batch
+    sampling as unimplemented); this is the TPU-native scale lever, not a
+    port of reference behavior.
+    """
+    from primekg_rgcn_tpu.data.sampling import (
+        CombinedBlock,
+        block_aggregate,
+        table_gather_sorted,
+    )
+    from primekg_rgcn_tpu.ops.rgcn_segment import materialize_relation_weights
+
+    enc = params["encoder"]
+    n = cfg.num_nodes
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    if len(batch.blocks) != 1:
+        raise ValueError(
+            f"cached encoder needs exactly 1 sampled hop, got "
+            f"{len(batch.blocks)}")
+    block = batch.blocks[0]
+    if not isinstance(block, CombinedBlock) or block.ident:
+        raise ValueError(
+            "cached encoder needs a dedup-frontier CombinedBlock (the "
+            "frontier's global ids address the history table)")
+
+    if x0 is not None:
+        x = x0.astype(compute_dtype)
+    else:
+        sentinel = (batch.frontier == n)[:, None]
+        x = table_gather_sorted(
+            enc["node_emb"],
+            jnp.minimum(batch.frontier, n - 1)).astype(compute_dtype)
+        x = jnp.where(sentinel, jnp.zeros((), compute_dtype), x)
+
+    # Fresh conv1 at the deduplicated seeds (block.out_ids are their GLOBAL
+    # ids; sentinel == n). Pre-activation, no dropout: histories must not
+    # bake in per-step noise.
+    h1 = block_aggregate(enc["conv1"], x, block,
+                         materialize_relation_weights)
+    h1 = jnp.where((block.out_ids == n)[:, None],
+                   jnp.zeros((), h1.dtype), h1)
+
+    # Push to history. out_ids are unique; the sentinel id n falls out of
+    # bounds and drops. stop_gradient: histories are constants.
+    new_cache = cache.at[block.out_ids].set(
+        jax.lax.stop_gradient(h1).astype(cache.dtype), mode="drop")
+
+    # conv2 input table: histories at the hop's frontier, fresh rows
+    # overwriting the in-batch positions (block.self_idx maps each output
+    # row to its own frontier slot), so gradients flow through the root
+    # term AND through intra-batch neighbor picks.
+    hist = jnp.take(new_cache, jnp.minimum(batch.frontier, n - 1), axis=0)
+    hist = jnp.where((batch.frontier == n)[:, None],
+                     jnp.zeros((), hist.dtype), hist)
+    h_tab = jax.lax.stop_gradient(hist.astype(h1.dtype))
+    h_tab = h_tab.at[block.self_idx].set(h1)
+
+    a = jax.nn.relu(h_tab)
+    if train and cfg.dropout > 0.0:
+        if dropout_rng is None:
+            raise ValueError("dropout_rng required when train=True")
+        keep = 1.0 - cfg.dropout
+        mask = jax.random.bernoulli(dropout_rng, keep, a.shape)
+        a = jnp.where(mask, a / keep, jnp.zeros((), a.dtype))
+
+    out = block_aggregate(enc["conv2"], a, block,
+                          materialize_relation_weights)
+    out = jnp.where((block.out_ids == n)[:, None],
+                    jnp.zeros((), out.dtype), out)
+    emb = jnp.take(out, batch.seed_gather, axis=0).astype(jnp.float32)
+    return emb, new_cache
+
+
 # ============================================================================
 # Inline smoke tests, runnable as `python -m primekg_rgcn_tpu.models.rgcn`
 # (parity with the reference's self-test entry point, rgcn.py:422-643; the

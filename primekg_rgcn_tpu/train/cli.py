@@ -113,6 +113,15 @@ def parse_args(argv=None):
                         "adaptive training at scales where adam cannot "
                         "fit; the rest params are then free to use "
                         "--optimizer adam")
+    p.add_argument("--cache_layer1", action="store_true",
+                   help="with --sparse_emb: historical layer-1 embeddings "
+                        "(GAS/VR-GCN style) — ONE sampled hop serves both "
+                        "convolutions; conv2 reads out-of-batch neighbors "
+                        "from an [N, hidden] history cache refreshed as "
+                        "nodes appear in batches. Removes the innermost "
+                        "frontier fetch (the sampled step's cost floor); "
+                        "histories introduce bounded staleness — see "
+                        "docs/KERNELS.md Round 5 for the qualification")
     # Multi-chip (SURVEY.md §2.4; the reference is single-device only,
     # reference: src/train.py:758-761)
     p.add_argument("--shard", choices=["none", "edge", "node"],
@@ -141,6 +150,9 @@ def parse_args(argv=None):
                         args.sample_mode):
         p.error(f"invalid --sample_mode {args.sample_mode!r} "
                 f"(uniform | block | blockN | truncate)")
+    if args.cache_layer1 and not args.sample_fanouts:
+        p.error("--cache_layer1 needs --sample_fanouts (it is a sampled-"
+                "trainer mode)")
     return args
 
 
@@ -313,7 +325,8 @@ def main(argv=None):
                                  zero3=args.zero3, dp_pods=args.dp_pods,
                                  sparse_emb=args.sparse_emb,
                                  val_sampled=args.val_sampled,
-                                 table_opt=args.table_opt)
+                                 table_opt=args.table_opt,
+                                 cache_layer1=args.cache_layer1)
         if args.resume:
             trainer.resume(args.resume)
         _run_training(trainer, args)

@@ -123,6 +123,8 @@ def build_sampled_train_step(
     layout: str = "auto",
     sparse_emb: bool = False,
     table_opt: str = "sgd",
+    cache_layer1: bool = False,
+    cache_init=None,
 ):
     """Returns jitted ``step(state, pos_edges [B, 3], key)``.
 
@@ -159,6 +161,24 @@ def build_sampled_train_step(
     csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout, mode)
 
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
+
+    # Historical-embedding mode (encoder_apply_cached): ONE sampled hop
+    # serves both convolutions; conv2 reads layer-1 histories from an
+    # [N, hidden] cache that rides in opt_state as (base_opt_state, cache).
+    # Single-chip sparse-embedding path only: the sharded layouts keep
+    # frontier-sized collectives and would need a sharded history table.
+    if cache_layer1:
+        if not sparse_emb:
+            raise ValueError("cache_layer1 requires sparse_emb (the "
+                             "single-chip memory mode)")
+        if not use_combined:
+            raise ValueError(
+                "cache_layer1 needs the combined pick layout (the hop's "
+                "frontier global ids address the history table); pass "
+                "layout='combined'")
+        cache_fanouts = fanouts[:1]
+    else:
+        cache_fanouts = None
 
     def loss_fn(params, pos, key, csr):
         k_neg, k_sample, k_drop = jax.random.split(key, 3)
@@ -223,6 +243,22 @@ def build_sampled_train_step(
                                              int(emb.shape[1])))
         else:
             opt_state = optimizer.init(params)
+        if cache_layer1:
+            cdt = (jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16"
+                   else jnp.float32)
+            if cache_init is not None:
+                h_cache = jnp.asarray(cache_init, dtype=cdt)
+                if h_cache.shape != (n, model_cfg.hidden_dim):
+                    raise ValueError(
+                        f"cache_init shape {h_cache.shape} != "
+                        f"{(n, model_cfg.hidden_dim)}")
+            else:
+                # Cold start: zero histories warm up as nodes appear as
+                # seeds (~one full refresh per N/|seeds| steps). Warm
+                # initialization (one full-batch conv1) is the trainer's
+                # job where the graph fits (SampledTrainer).
+                h_cache = jnp.zeros((n, model_cfg.hidden_dim), cdt)
+            opt_state = (opt_state, h_cache)
         return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -235,10 +271,19 @@ def build_sampled_train_step(
             k_neg, pos_edges[:, 0], pos_edges[:, 1], pos_edges[:, 2],
             model_cfg.num_nodes, train_cfg.num_neg_samples)
         seeds = jnp.concatenate([heads, tails]).astype(jnp.int32)
-        if use_combined:
+        if cache_layer1:
+            base_opt_state, h_cache = state.opt_state
+            # ONE hop, dedup frontier (its global ids address the history
+            # table; ident mode has no frontier at all).
+            batch = sample_batch_combined(k_sample, csr_l, seeds,
+                                          cache_fanouts, mode=mode,
+                                          allow_ident=False)
+        elif use_combined:
+            base_opt_state, h_cache = state.opt_state, None
             batch = sample_batch_combined(k_sample, csr_l, seeds, fanouts,
                                           mode=mode, allow_ident=True)
         else:
+            base_opt_state, h_cache = state.opt_state, None
             batch = sample_batch(k_sample, csr_l, seeds, fanouts,
                                  mode=mode)
         emb_table, rest = _split_emb(state.params)
@@ -256,27 +301,35 @@ def build_sampled_train_step(
             rows = jnp.where(sentinel, jnp.zeros((), rows.dtype), rows)
 
         def loss_from_rows(rows_v, rest_v):
-            emb = encoder_apply_sampled(
-                _merge_emb(rest_v, None), batch, model_cfg, train=True,
-                dropout_rng=k_drop, x0=rows_v)
+            if cache_layer1:
+                from primekg_rgcn_tpu.models.rgcn import encoder_apply_cached
+
+                emb, new_cache = encoder_apply_cached(
+                    _merge_emb(rest_v, None), batch, h_cache, model_cfg,
+                    train=True, dropout_rng=k_drop, x0=rows_v)
+            else:
+                emb = encoder_apply_sampled(
+                    _merge_emb(rest_v, None), batch, model_cfg, train=True,
+                    dropout_rng=k_drop, x0=rows_v)
+                new_cache = None
             m = heads.shape[0]
             head_emb, tail_emb = emb[:m], emb[m:]
             rel_emb = jnp.take(rest_v["decoder"]["rel_emb"], rels, axis=0)
             scores = distmult_score(head_emb, tail_emb, rel_emb)
             loss_sum, correct, count = bce_stats(scores, labels, weights)
-            return loss_sum / count, correct / count
+            return loss_sum / count, (correct / count, new_cache)
 
-        (loss, acc), (g_rows, g_rest) = jax.value_and_grad(
+        (loss, (acc, new_cache)), (g_rows, g_rest) = jax.value_and_grad(
             loss_from_rows, argnums=(0, 1), has_aux=True)(rows, rest)
-        rest_state = state.opt_state[0] if table_factored \
-            else state.opt_state
+        rest_state = base_opt_state[0] if table_factored \
+            else base_opt_state
         updates, rest_state = optimizer.update(g_rest, rest_state, rest)
         rest = optax.apply_updates(rest, updates)
         if table_factored:
             if ident0:
                 # Saturated frontier: g_rows IS the dense [N, D] gradient.
                 tupd, table_state = factored_slice_update(
-                    g_rows, state.opt_state[1], axis_name=None,
+                    g_rows, base_opt_state[1], axis_name=None,
                     row_valid=jnp.ones((n,), jnp.float32), n_valid=n,
                     lr=train_cfg.lr)
                 emb_table = emb_table + tupd.astype(emb_table.dtype)
@@ -285,7 +338,7 @@ def build_sampled_train_step(
                 # frontier coverage (see factored_rows_update).
                 emb_table, table_state = factored_rows_update(
                     g_rows, batch.frontier, emb_table,
-                    state.opt_state[1], lr=train_cfg.lr)
+                    base_opt_state[1], lr=train_cfg.lr)
             opt_state = (rest_state, table_state)
         elif ident0:
             emb_table = emb_table - (train_cfg.lr * g_rows).astype(
@@ -299,6 +352,8 @@ def build_sampled_train_step(
                 (-train_cfg.lr * g_rows).astype(emb_table.dtype),
                 mode="drop")
             opt_state = rest_state
+        if cache_layer1:
+            opt_state = (opt_state, new_cache)
         params = _merge_emb(rest, emb_table)
         return TrainState(params, opt_state, state.step + 1), (loss, acc)
 
@@ -1215,7 +1270,8 @@ class SampledTrainer:
     def __init__(self, model_cfg, train_cfg, graph, full_graph, train_edges,
                  val_edges, output_dir, *, fanouts=(15, 10), mode="uniform",
                  n_devices=None, zero1=False, zero3=False, dp_pods=0,
-                 sparse_emb=False, val_sampled=False, table_opt="sgd"):
+                 sparse_emb=False, val_sampled=False, table_opt="sgd",
+                 cache_layer1=False):
         import numpy as np
         from pathlib import Path
 
@@ -1259,6 +1315,14 @@ class SampledTrainer:
             raise ValueError(
                 "--sparse_emb is the single-chip memory mode; the "
                 "multi-device analogue is --zero3 (sharded table)")
+        if cache_layer1 and multi:
+            raise ValueError(
+                "--cache_layer1 is the single-chip historical-embedding "
+                "mode; sharded layouts keep exact frontier collectives "
+                "(a sharded history table is future work)")
+        if cache_layer1 and not sparse_emb:
+            raise ValueError("--cache_layer1 requires --sparse_emb (it "
+                             "extends the single-chip sparse-table step)")
         if table_opt != "sgd" and multi and not zero3:
             # Above the single/multi split so a requested table optimizer
             # can never be silently ignored by a sharded layout that
@@ -1338,10 +1402,29 @@ class SampledTrainer:
                     "--table_opt adafactor cannot honor global-norm "
                     "grad_clip (the table gradient is updated separately "
                     "from the rest); disable --grad_clip")
+            cache_init = None
+            if cache_layer1 and graph is not None and \
+                    getattr(graph, "padded_num_edges", 1 << 62) <= 20_000_000:
+                # Warm start: one full-batch conv1 pass fills every history
+                # row exactly (instead of a zero cold start whose first
+                # ~N/|seeds| steps aggregate zero neighbor messages). Only
+                # where the full-graph layer fits comfortably; the 100M-edge
+                # config starts cold and warms within its first epoch.
+                from primekg_rgcn_tpu.ops.rgcn_segment import \
+                    rgcn_layer_segment
+
+                cdt = (jnp.bfloat16
+                       if model_cfg.compute_dtype == "bfloat16"
+                       else jnp.float32)
+                cache_init = jax.jit(
+                    lambda p: rgcn_layer_segment(
+                        p["encoder"]["conv1"], p["encoder"]["node_emb"],
+                        graph, compute_dtype=cdt))(params)
             self.step_fn = build_sampled_train_step(
                 csr_like, model_cfg, train_cfg, self.optimizer,
                 fanouts=fanouts, mode=mode, sparse_emb=sparse_emb,
-                table_opt=table_opt)
+                table_opt=table_opt, cache_layer1=cache_layer1,
+                cache_init=cache_init)
             self.state = self.step_fn.init_state(params)
         if val_sampled and self._zero3:
             # Sharded sampled validation: the table never materializes.
