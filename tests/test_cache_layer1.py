@@ -169,6 +169,34 @@ def test_cached_step_chunked_matches_loop():
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+@pytest.mark.parametrize("mode", ["block", "block2"])
+def test_cached_step_composes_with_block_modes(mode):
+    """The one-hop cached step must compose with the block/blockN pick
+    layouts (the contiguous-window fetch path) — same step contract,
+    finite losses, histories refreshed."""
+    import optax
+
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
+
+    graph, cfg, params, ccsr, _ = _setup()
+    tcfg = TrainConfig(batch_size=32, lr=0.05)
+    step = build_sampled_train_step(graph, cfg, tcfg, optax.sgd(0.05),
+                                    fanouts=(5, 4), sparse_emb=True,
+                                    mode=mode, cache_layer1=True)
+    state = step.init_state(params)
+    src, dst, rel = edge_arrays_from_graph(graph)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    key = jax.random.PRNGKey(2)
+    rng = np.random.default_rng(2)
+    for i in range(6):
+        key, k = jax.random.split(key)
+        idx = rng.integers(0, len(edges), tcfg.batch_size)
+        state, (loss, _) = step(state, jnp.asarray(edges[idx]), k)
+        assert np.isfinite(float(loss))
+    _, cache = state.opt_state
+    assert np.abs(np.asarray(cache)).max() > 0
+
+
 def test_cache_flag_validation():
     import optax
 
