@@ -532,12 +532,13 @@ CONFIGS: Dict[str, Callable[[], Dict]] = {
     "sampled-10m-block-xla-15-10": lambda: bench_sampled(
         (15, 10), "rmat-10m", mode="block", window_impl="xla"),
     # Budget-quality sweep (docs/KERNELS.md Round 4) showed 8/5 == 15/10
-    # quality at qualification scale. Round-5 measurement: the smaller
-    # budget is SLOWER (949 vs 583 ms) because its innermost raw stream
-    # (~4.7M slots) drops below the 0.5 near-saturation identity
-    # threshold, re-entering the dedup+scatter regime — the regime
-    # boundary dominates the budget product. The -ident04 row lowers the
-    # threshold so 8/5 stays in identity mode.
+    # quality at qualification scale. Round-5 measurement: under the THEN
+    # default threshold 0.5 the smaller budget was SLOWER (949 vs 583 ms)
+    # because its innermost raw stream dropped into the dedup+scatter
+    # regime — the regime boundary dominates the budget product. The
+    # -ident04/-ident03 rows ledger that discovery; since the crossover
+    # sweep (ident-crossover row) the DEFAULT threshold is 0.03, so the
+    # plain 8-5 row runs identity out of the box.
     "sampled-10m-8-5": lambda: bench_sampled((8, 5), "rmat-10m"),
     "sampled-10m-8-5-ident04": lambda: bench_sampled(
         (8, 5), "rmat-10m", ident_fraction=0.4),

@@ -727,21 +727,26 @@ def _combined_agg_impl() -> str:
 
 
 # Innermost-layer frontiers whose raw slot count reaches this fraction of
-# the node space skip dedup entirely (see CombinedBlock.ident). The
-# original 0.5 default reasoned that identity costs <= 2x the minimal
-# table rows in backward segment-sum length; round-5 MEASUREMENT says the
-# dedup construction is far costlier than that bound: at config-5 fanout
-# 8/5 (budgets (32, 24), innermost raw stream 3.38M slots = 0.34 x N) the
-# dedup-regime step is 949 ms vs 284 ms identity — a 3.3x penalty, and
-# the regime boundary dominates the budget product (8/5 dedup was SLOWER
-# than 15/10 identity at twice the budget). Default is therefore 0.3, the
-# lowest measured-win point; below that the crossover is unmeasured.
-# Tunable via PRIMEKG_IDENT_FRACTION.
+# the node space skip dedup entirely (see CombinedBlock.ident). History:
+# the original 0.5 default reasoned that identity costs <= 2x the minimal
+# table rows in backward segment-sum length; round-5 measured the dedup
+# construction far costlier than that bound (8/5 dedup 949 ms vs 284 ms
+# identity at 0.34 x N) and moved the default to 0.3, the lowest then-
+# measured win point. The round-5 CROSSOVER SWEEP (bench/suite.py
+# bench_ident_sweep, config-5 graph, batch in {64..1024} so raw spans
+# 0.02-0.32 x N, both regimes timed at every point) pinned the boundary:
+# dedup costs ~286 ns/slot (near-constant), identity ~75 ns/slot plus a
+# ~65 ms node-space term (dense table update + [N]-shaped streams), so
+# identity wins everywhere above the measured crossing raw = 0.026 x N
+# (e.g. 88 vs 120 ms at 0.04; dedup's only win was 64 vs 76 ms at 0.02).
+# Both cost terms are per-slot/per-node linear (fit residuals < 5%), so
+# the FRACTION is scale-invariant in N. Default 0.03 = the measured
+# crossover rounded up. Tunable via PRIMEKG_IDENT_FRACTION.
 def _ident_fraction() -> float:
-    return float(os.environ.get("PRIMEKG_IDENT_FRACTION", "0.3"))
+    return float(os.environ.get("PRIMEKG_IDENT_FRACTION", "0.03"))
 
 
-IDENT_FRACTION = 0.3
+IDENT_FRACTION = 0.03
 
 
 def parse_sample_mode(mode: str):
