@@ -158,6 +158,11 @@ def build_sampled_train_step(
     from primekg_rgcn_tpu.data.sampling import (
         sample_batch_combined, table_gather_sorted)
 
+    if cache_layer1 and layout == "auto":
+        # The hop's frontier global ids address the history table: the
+        # cached step needs the combined layout even on relation-dense
+        # graphs where the auto heuristic would pick per-relation.
+        layout = "combined"
     csr, fanouts, use_combined = resolve_sampler(csr, fanouts, layout, mode)
 
     csr_arrays, _rebuild = _csr_operands(csr, use_combined)
@@ -1337,7 +1342,12 @@ class SampledTrainer:
         # Resolve the pick layout ONCE; every builder (train step, sampled
         # val) then shares the same CSR instead of rebuilding it (the
         # combined CSR costs ~90 s + 700 MB at the 100M-edge config).
-        csr_like = resolve_sampler(graph, fanouts, mode=mode)[0]
+        # cache_layer1 requires the combined layout regardless of relation
+        # density (the hop's frontier global ids address the history
+        # table), so it overrides the auto heuristic like block mode does.
+        csr_like = resolve_sampler(
+            graph, fanouts, "combined" if cache_layer1 else "auto",
+            mode=mode)[0]
         if multi:
             from primekg_rgcn_tpu.parallel.mesh import make_mesh
 

@@ -197,6 +197,36 @@ def test_cached_step_composes_with_block_modes(mode):
     assert np.abs(np.asarray(cache)).max() > 0
 
 
+def test_cached_step_on_relation_dense_graph():
+    """On a relation-DENSE graph (auto heuristic would pick the
+    per-relation layout) cache_layer1 must override to combined instead
+    of erroring — the reference-protocol config (3 relations) hit this."""
+    import optax
+
+    from primekg_rgcn_tpu.train.sampled import build_sampled_train_step
+
+    rng = np.random.default_rng(5)
+    n, r, e = 60, 3, 500
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    rel = rng.integers(0, r, e)
+    graph = build_rel_graph(src, dst, rel, n, r, bucket_pad_multiple=64)
+    cfg = ModelConfig(num_nodes=n, num_relations=r, embedding_dim=8,
+                      hidden_dim=8, dropout=0.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tcfg = TrainConfig(batch_size=16, lr=0.05)
+    step = build_sampled_train_step(graph, cfg, tcfg, optax.sgd(0.05),
+                                    fanouts=(5, 4), sparse_emb=True,
+                                    cache_layer1=True)
+    state = step.init_state(params)
+    edges = np.stack([src, dst, rel], 1).astype(np.int32)
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, (loss, _) = step(state, jnp.asarray(edges[:16]), k)
+        assert np.isfinite(float(loss))
+
+
 def test_cache_flag_validation():
     import optax
 
