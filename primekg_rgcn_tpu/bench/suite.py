@@ -13,6 +13,11 @@ measures the wider matrix and writes a JSON report:
                        chip; the 100M-edge multi-host config runs the same
                        code over a pod mesh)
 7. eval-ranking      — all-tails ranking throughput (score_all_tails + rank)
+8. sampled-10m-*     — config-5 (10M nodes / 100M edges) sampled-step
+                       matrix: pick modes, budgets, identity threshold,
+                       historical cache (sampled-*-cache-*)
+9. ident-crossover   — dedup-vs-identity regime sweep (both regimes timed
+                       at five raw-fraction points; docs/KERNELS.md)
 
 Usage: python -m primekg_rgcn_tpu.bench.suite [--out bench_report.json]
        [--configs primekg-default sampled-15-10 ...]
